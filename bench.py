@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "clips_per_sec": ...}
+
+The clips quality-filter pipeline (the engine's flagship) is measured as
+throughput over a pre-materialized parquet clips table (generation cost
+is excluded — it is input, not engine). Catalog queries tagged "bench"
+cover the relational/dedup/ANN/text operator families.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("BENCH_N_CLIPS", "0")) or (
+    20000 if "0.1" in SF_DIR else (5000 if "0.01" in SF_DIR else 2000)
+)
+CLIPS_CACHE = os.environ.get("BENCH_CLIPS_DIR", f"/tmp/bench_clips_{N_CLIPS}")
+
+
+def _force(df) -> int:
+    """Fully execute a DataFrame without driver-side collection cost."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from dataquality_spark.datagen.clips import DEFAULT_RUN_TS, write_clips_parquet
+    from dataquality_spark.pipeline import run_pipeline
+    from dataquality_spark.queries import CATALOG
+    from dataquality_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+
+    if not os.path.exists(os.path.join(CLIPS_CACHE, "_SUCCESS")):
+        shutil.rmtree(CLIPS_CACHE, ignore_errors=True)
+        write_clips_parquet(spark, CLIPS_CACHE, N_CLIPS)
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: clips quality-filter pipeline -------------------------
+    clips = spark.read.parquet(CLIPS_CACHE)
+    t0 = time.time()
+    res = run_pipeline(clips, DEFAULT_RUN_TS, include_evidence=False)
+    _force(res.results)
+    _force(res.duplicate_pairs)
+    _force(res.run_metrics)
+    clip_sec = time.time() - t0
+    timings["clips_pipeline"] = round(clip_sec, 3)
+    clips_per_sec = round(N_CLIPS / clip_sec, 1)
+    res.results.sparkSession.catalog.clearCache()
+
+    # --- catalog headline queries ---------------------------------------
+    for name, q in CATALOG.items():
+        if "bench" not in q.tags or name.startswith("clips_"):
+            continue
+        t0 = time.time()
+        _force(q.run(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "quality_filter_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "clips_per_sec": clips_per_sec,
+        "n_clips": N_CLIPS,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1034 @@
+"""Driver-contract query catalog: every operator family from SURVEY.md §2,
+re-expressed over the driver's deterministic parquet tables
+(``/root/testdata/sf*/``: region nation customer supplier part orders
+lineitem events documents embeddings) with a paired DuckDB oracle SQL
+string for the per-round correctness gate.
+
+Design rules (learned empirically — see tests/test_catalog.py):
+
+* Spark side and oracle side compute **bit-identical** values: the shared
+  primitives (``\\W+`` tokenizer, polynomial char hash mod 1e9+7, float64
+  dot-product in array order) were verified to agree exactly between Spark
+  SQL and DuckDB, so thresholds can sit on raw doubles without epsilon
+  fudging.
+* Floating aggregates that sum in nondeterministic (partial-agg) order are
+  rounded on both sides before hashing; everything else is exact.
+* Timestamps are emitted as epoch microseconds (``unix_micros`` /
+  ``epoch_us``) — bigint, no format ambiguity. Dates as 'yyyy-MM-dd'
+  strings. Booleans as ints.
+* Every computed column is aliased identically on both sides (the driver
+  sorts columns by name before hashing).
+
+Reference parity notes (file:line into /root/reference):
+
+* tokenizer = lowercase, split \\W+, drop empties — the reference's
+  metadata-similarity tokenizer (backend/app/services/metadata.py:218-226).
+* keep/drop policy thresholds 85/70/60, default-50 dimensions, overall =
+  round(mean of 17) — metadata.py:419-433, :171-178.
+* near-dup = gate + similarity threshold pair reporting — metadata.py:514-624.
+* dashboard aggregations (daily trend, per-dimension averages, latest-wins,
+  top-k recents) — backend/app/api/routes.py:441-574.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+MOD = 1_000_000_007
+MINHASH_K = 8
+MINHASH_P = 2_147_483_647
+MINHASH_A = (2, 3, 5, 7, 11, 13, 17, 19)
+MINHASH_B = (1, 7, 13, 19, 25, 31, 37, 43)
+BAND_ROWS = 2          # 4 bands x 2 rows over the 8-slot signature
+JACCARD_PAIR_MIN = 0.1
+MINHASH_VERIFY_MIN = 0.5
+COS_PAIR_MIN = 0.35
+SIMHASH_BITS = 32
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+# Reduced dimension set scored on text-only tables; the remaining 11 of the
+# reference's 17 dimensions default to 50 per P1 (metadata.py:171-178).
+N_DIMS_TOTAL = 17
+DEFAULT_SCORE = 50
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------------
+# Shared SQL fragments, rendered per dialect ("spark" | "duck").
+# --------------------------------------------------------------------------
+
+def _tokens(d: str, c: str) -> str:
+    if d == "spark":
+        return f"filter(split(lower({c}), '\\\\W+'), x -> x <> '')"
+    return f"list_filter(regexp_split_to_array(lower({c}), '\\W+'), x -> x <> '')"
+
+
+def _polyhash(d: str, c: str) -> str:
+    """Deterministic polynomial char hash mod 1e9+7 (rolling-hash
+    fingerprint, C11 analog); bit-identical across Spark and DuckDB."""
+    if d == "spark":
+        chars = f"transform(filter(split({c}, ''), ch -> ch <> ''), ch -> cast(ascii(ch) as bigint))"
+        return f"aggregate({chars}, 0L, (acc, cc) -> (acc*31 + cc) % {MOD})"
+    chars = f"list_transform(list_filter(string_split({c}, ''), ch -> ch <> ''), ch -> ascii(ch)::BIGINT)"
+    return f"list_reduce(list_prepend(0::BIGINT, {chars}), (acc, cc) -> (acc*31 + cc) % {MOD})"
+
+
+def _shingles(d: str, t: str) -> str:
+    """Distinct word 3-gram shingle strings over a token array ``t``."""
+    if d == "spark":
+        inner = f"transform(sequence(1, size({t}) - 2), i -> concat_ws(' ', slice({t}, i, 3)))"
+        return f"case when size({t}) < 3 then array() else array_distinct({inner}) end"
+    inner = (
+        f"list_transform(generate_series(1, (len({t}) - 2)::BIGINT), "
+        f"i -> array_to_string(list_slice({t}, i, i + 2), ' '))"
+    )
+    return f"case when len({t}) < 3 then [] else list_distinct({inner}) end"
+
+
+def _explode(d: str, arr: str, alias: str) -> str:
+    return f"explode({arr}) as {alias}" if d == "spark" else f"unnest({arr}) as {alias}"
+
+
+def _arr_size(d: str, a: str) -> str:
+    return f"size({a})" if d == "spark" else f"len({a})"
+
+
+def _epoch_us(d: str, c: str) -> str:
+    # cast: driver parquet timestamps load as TIMESTAMP_NTZ in Spark 4;
+    # session tz is UTC so the cast is the identity mapping.
+    if d == "spark":
+        return f"unix_micros(cast({c} as timestamp))"
+    return f"epoch_us({c})"
+
+
+def _div(a: str, b: str) -> str:
+    """Exact float64 division, both dialects. NB: a bare ``1.0`` literal is
+    DECIMAL in Spark SQL (and DuckDB) — decimal division has different
+    rounding than float64, so ratios must cast explicitly to double."""
+    return f"(CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE))"
+
+
+def _fmt_day(d: str, c: str) -> str:
+    return f"date_format({c}, 'yyyy-MM-dd')" if d == "spark" else f"strftime({c}, '%Y-%m-%d')"
+
+
+def _cos(d: str, a: str, b: str) -> str:
+    """Exact float64 cosine in array order — bit-identical across engines."""
+    if d == "spark":
+        dot = f"aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>), (x,y)->x*y), 0D, (s,x)->s+x)"
+        na = f"sqrt(aggregate(cast({a} as array<double>), 0D, (s,x)->s+x*x))"
+        nb = f"sqrt(aggregate(cast({b} as array<double>), 0D, (s,x)->s+x*x))"
+    else:
+        dot = f"list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), p -> p[1]*p[2]))"
+        na = f"sqrt(list_sum(list_transform({a}::DOUBLE[], x -> x*x)))"
+        nb = f"sqrt(list_sum(list_transform({b}::DOUBLE[], x -> x*x)))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+# --------------------------------------------------------------------------
+# Text-analysis CTE fragments over documents
+# --------------------------------------------------------------------------
+
+def _sql_doc_tokens(d: str) -> str:
+    return f"SELECT doc_id, {_tokens(d, 'text')} AS toks FROM documents"
+
+
+def _sql_doc_shingle_rows(d: str) -> str:
+    """doc_id, shingle-hash rows (distinct per doc)."""
+    return (
+        f"WITH tok AS ({_sql_doc_tokens(d)}), "
+        f"shing AS (SELECT doc_id, {_explode(d, _shingles(d, 'toks'), 'sh')} FROM tok) "
+        f"SELECT doc_id, {_polyhash(d, 'sh')} AS h FROM shing"
+    )
+
+
+def _sql_jaccard_from_pairs(d: str, cand: str, thresh: float, extra_cols: str = "") -> str:
+    """Given a candidate-pair CTE named ``cand(id_a, id_b)`` defined in the
+    enclosing WITH, append exact-Jaccard verification over shingle sets."""
+    return (
+        f"sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        f"inter AS (SELECT c.id_a, c.id_b, count(*) AS i "
+        f"  FROM {cand} c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND a.h = b.h "
+        f"  GROUP BY c.id_a, c.id_b) "
+        f"SELECT inter.id_a, inter.id_b, "
+        f"  (CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE)) AS jaccard{extra_cols} "
+        f"FROM inter JOIN sz x ON inter.id_a = x.doc_id JOIN sz y ON inter.id_b = y.doc_id "
+        f"WHERE (CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE)) >= {thresh} "
+        f"ORDER BY id_a, id_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# Catalog
+# --------------------------------------------------------------------------
+
+@dataclass
+class QueryDef:
+    spark_sql: str | None = None                      # Spark-dialect SQL, or
+    fn: Callable[[SparkSession, str], DataFrame] | None = None  # DataFrame fn
+    oracle: str | None = None                         # DuckDB-dialect SQL
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+    def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        if self.fn is not None:
+            return self.fn(spark, sf_dir)
+        _register(spark, sf_dir)
+        return spark.sql(self.spark_sql)
+
+
+CATALOG: dict[str, QueryDef] = {}
+
+
+def _q(name: str, **kw) -> None:
+    CATALOG[name] = QueryDef(**kw)
+
+
+# ---------------------------------------------------------------- policy ---
+
+def _sql_quality_policy(d: str) -> str:
+    tok = _tokens(d, "text")
+    sz = _arr_size(d, "toks")
+    dist = (
+        f"size(array_distinct(toks))" if d == "spark" else "len(list_distinct(toks))"
+    )
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    if d == "spark":
+        stop_hits = f"size(filter(toks, x -> x in ({stop_in})))"
+        alpha = "case when length(text) = 0 then 0.0 else CAST(length(regexp_replace(text, '[^a-zA-Z ]', '')) AS DOUBLE) / CAST(length(text) AS DOUBLE) end"
+    else:
+        stop_hits = f"len(list_filter(toks, x -> x in ({stop_in})))"
+        alpha = "case when length(text) = 0 then 0.0 else CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) end"
+    n_default = N_DIMS_TOTAL - 6
+    return f"""
+WITH tok AS (SELECT doc_id, text, lang, n_chars, {tok} AS toks FROM documents),
+sig AS (
+  SELECT doc_id, lang, n_chars,
+         {sz} AS n_tokens, {dist} AS n_distinct,
+         {stop_hits} AS stop_hits, {alpha} AS alpha_space_ratio
+  FROM tok),
+dims AS (
+  SELECT doc_id, n_tokens, n_distinct,
+    CASE WHEN n_tokens = 0 THEN 0 WHEN n_chars < 50 THEN 40 ELSE 90 END AS score_completeness,
+    CASE WHEN n_tokens = 0 THEN 50 WHEN (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) > 0.5 THEN 40 ELSE 90 END AS score_consistency,
+    CASE WHEN n_chars = 0 THEN 50 WHEN alpha_space_ratio >= 0.8 THEN 90 ELSE 40 END AS score_validity,
+    CASE WHEN lang = 'en' THEN 90 ELSE 70 END AS score_relevance,
+    CASE WHEN n_tokens = 0 THEN 30 WHEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05 THEN 85 ELSE 60 END AS score_fitness,
+    CASE WHEN n_tokens > 0 AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.3 THEN 90 ELSE 45 END AS score_value
+  FROM sig)
+SELECT doc_id, n_tokens, n_distinct,
+  score_completeness, score_consistency, score_validity, score_relevance,
+  score_fitness, score_value,
+  CAST(floor((score_completeness + score_consistency + score_validity
+      + score_relevance + score_fitness + score_value
+      + {n_default} * {DEFAULT_SCORE}) / {N_DIMS_TOTAL}.0 + 0.5) AS INT) AS overall_quality_score,
+  CASE
+    WHEN CAST(floor((score_completeness + score_consistency + score_validity
+        + score_relevance + score_fitness + score_value
+        + {n_default} * {DEFAULT_SCORE}) / {N_DIMS_TOTAL}.0 + 0.5) AS INT) >= 85 THEN 'KEEP'
+    WHEN CAST(floor((score_completeness + score_consistency + score_validity
+        + score_relevance + score_fitness + score_value
+        + {n_default} * {DEFAULT_SCORE}) / {N_DIMS_TOTAL}.0 + 0.5) AS INT) >= 70 THEN 'REVIEW'
+    WHEN CAST(floor((score_completeness + score_consistency + score_validity
+        + score_relevance + score_fitness + score_value
+        + {n_default} * {DEFAULT_SCORE}) / {N_DIMS_TOTAL}.0 + 0.5) AS INT) >= 60 THEN 'QUARANTINE'
+    ELSE 'DISCARD'
+  END AS recommended_action
+FROM dims
+ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_quality_policy",
+    spark_sql=_sql_quality_policy("spark"),
+    oracle=_sql_quality_policy("duck"),
+    doc="P1-P4 keep/drop policy over documents: 6 heuristic text dimensions "
+        "+ 11 default-50 dimensions, overall=round(mean of 17), action "
+        "thresholds 85/70/60 (metadata.py:171-178, :419-433).",
+    tags=("policy", "bench"),
+)
+
+
+# ----------------------------------------------------------------- dedup ---
+
+def _sql_exact_dedup(d: str) -> str:
+    return f"""
+SELECT min(doc_id) AS rep_id, count(*) AS group_size, {_polyhash(d, 'text')} AS text_hash
+FROM documents GROUP BY text ORDER BY rep_id
+"""
+
+
+_q(
+    "doc_exact_dedup",
+    spark_sql=_sql_exact_dedup("spark"),
+    oracle=_sql_exact_dedup("duck"),
+    doc="Exact dedup: hash-groupBy on content (map-side combinable; the "
+        "scalable form of the reference's equal-content case of "
+        "metadata.py:514-624).",
+    tags=("dedup", "bench"),
+)
+
+
+def _sql_dedup_members(d: str) -> str:
+    return """
+SELECT doc_id,
+  count(*) OVER (PARTITION BY text) AS group_size,
+  min(doc_id) OVER (PARTITION BY text) AS rep_id,
+  CASE WHEN count(*) OVER (PARTITION BY text) >= 2
+        AND doc_id <> min(doc_id) OVER (PARTITION BY text)
+       THEN 1 ELSE 0 END AS is_exact_dup
+FROM documents ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_dedup_members",
+    spark_sql=_sql_dedup_members("spark"),
+    oracle=_sql_dedup_members("duck"),
+    doc="Per-row duplicate flags via window functions (latest/first-wins "
+        "pattern, routes.py:63-81 analog).",
+    tags=("dedup", "window"),
+)
+
+
+def _sql_shingle_jaccard(d: str) -> str:
+    return (
+        f"WITH sh AS ({_sql_doc_shingle_rows(d)}), "
+        f"cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id "
+        f"  GROUP BY a.doc_id, b.doc_id), "
+        + _sql_jaccard_from_pairs(d, "cand", JACCARD_PAIR_MIN)
+    )
+
+
+_q(
+    "doc_shingle_jaccard_pairs",
+    spark_sql=_sql_shingle_jaccard("spark"),
+    oracle=_sql_shingle_jaccard("duck"),
+    doc="n-gram Jaccard near-dup: inverted-index equi-join on word-3-gram "
+        "shingle hashes generates candidates (only pairs sharing a shingle "
+        "— never all-pairs), exact Jaccard verifies. Replaces the "
+        "reference's O(n^2) loop (metadata.py:514-624) with a shuffle "
+        "join; P6 Jaccard semantics (metadata.py:229-237).",
+    tags=("dedup", "bench"),
+)
+
+
+def _sql_minhash_sigs(d: str) -> str:
+    mins = ", ".join(
+        f"min(({MINHASH_A[k]} * h + {MINHASH_B[k]}) % {MINHASH_P}) AS mh{k}"
+        for k in range(MINHASH_K)
+    )
+    return (
+        f"WITH sh AS ({_sql_doc_shingle_rows(d)}), "
+        f"dsh AS (SELECT DISTINCT doc_id, h FROM sh) "
+        f"SELECT doc_id, {mins} FROM dsh GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+_q(
+    "doc_minhash_signatures",
+    spark_sql=_sql_minhash_sigs("spark"),
+    oracle=_sql_minhash_sigs("duck"),
+    doc="MinHash signatures (K=8 universal hashes over shingle hashes) as a "
+        "map-side-combinable min-aggregation — signature computation never "
+        "shuffles raw text.",
+    tags=("dedup",),
+)
+
+
+def _sql_minhash_band_pairs(d: str) -> str:
+    n_bands = MINHASH_K // BAND_ROWS
+    mins = ", ".join(
+        f"min(({MINHASH_A[k]} * h + {MINHASH_B[k]}) % {MINHASH_P}) AS mh{k}"
+        for k in range(MINHASH_K)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, "
+        f"(mh{2 * i} * 1000003 + mh{2 * i + 1}) % {MOD} AS band_hash FROM sigs"
+        for i in range(n_bands)
+    )
+    return (
+        f"WITH sh AS ({_sql_doc_shingle_rows(d)}), "
+        f"sigs AS (SELECT doc_id, {mins} "
+        f"  FROM (SELECT DISTINCT doc_id, h FROM sh) dsh GROUP BY doc_id), "
+        f"bands AS ({band_selects}), "
+        f"cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"  FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
+        f"  AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id "
+        f"  GROUP BY a.doc_id, b.doc_id), "
+        + _sql_jaccard_from_pairs(d, "cand", MINHASH_VERIFY_MIN)
+    )
+
+
+_q(
+    "doc_minhash_band_pairs",
+    spark_sql=_sql_minhash_band_pairs("spark"),
+    oracle=_sql_minhash_band_pairs("duck"),
+    doc="MinHash+LSH near-dup end-to-end: band the 8-slot signature into 4 "
+        "bands of 2, equi-join on (band_idx, band_hash) for candidates, "
+        "exact-Jaccard verify >= 0.5. LSH affects recall only; precision "
+        "is exact (SURVEY §7.3). The banding join is the scalable "
+        "replacement for metadata.py:514-624.",
+    tags=("dedup", "bench"),
+)
+
+
+def _sql_simhash(d: str) -> str:
+    tok = _sql_doc_tokens(d)
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ((h // {1 << j}) % 2) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        if d == "duck"
+        else f"sum(CASE WHEN (CAST(h / {1 << j} AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    if d == "spark":
+        dist_tok = "SELECT doc_id, explode(array_distinct(toks)) AS w FROM tok"
+    else:
+        dist_tok = "SELECT doc_id, unnest(list_distinct(toks)) AS w FROM tok"
+    return (
+        f"WITH tok AS ({tok}), "
+        f"tw AS ({dist_tok}), "
+        f"th AS (SELECT doc_id, {_polyhash(d, 'w')} AS h FROM tw), "
+        f"bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id) "
+        f"SELECT doc_id, ({val}) AS simhash FROM bits ORDER BY doc_id"
+    )
+
+
+_q(
+    "doc_simhash",
+    spark_sql=_sql_simhash("spark"),
+    oracle=_sql_simhash("duck"),
+    doc="SimHash 32-bit document fingerprint from distinct-token hashes — "
+        "per-bit majority vote as 32 conditional sums in one groupBy "
+        "(single shuffle, fully codegen).",
+    tags=("dedup",),
+)
+
+
+def _sql_fingerprint(d: str) -> str:
+    return f"""
+SELECT doc_id, {_polyhash(d, 'text')} AS fingerprint, length(text) AS n_chars_exact
+FROM documents ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_fingerprint",
+    spark_sql=_sql_fingerprint("spark"),
+    oracle=_sql_fingerprint("duck"),
+    doc="Rolling polynomial content fingerprint per document (C11 analog; "
+        "stable across engines/processes).",
+    tags=("text",),
+)
+
+
+# ------------------------------------------------------------------ text ---
+
+def _sql_token_stats(d: str) -> str:
+    tok = _tokens(d, "text")
+    if d == "spark":
+        ws = "size(filter(split(text, ' +'), x -> x <> ''))"
+        dist = "size(array_distinct(toks))"
+        sz = "size(toks)"
+        avg_len = "round(CAST(aggregate(toks, 0L, (s, x) -> s + length(x)) AS DOUBLE) / CAST(greatest(size(toks), 1) AS DOUBLE), 4)"
+    else:
+        ws = "len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> ''))"
+        dist = "len(list_distinct(toks))"
+        sz = "len(toks)"
+        avg_len = "round(CAST(list_sum(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE), 4)"
+    return f"""
+WITH tok AS (SELECT doc_id, text, {tok} AS toks FROM documents)
+SELECT doc_id, {sz} AS n_tokens, {dist} AS n_distinct_tokens,
+       {ws} AS n_ws_tokens, length(text) AS n_chars_exact, {avg_len} AS avg_token_len
+FROM tok ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_token_stats",
+    spark_sql=_sql_token_stats("spark"),
+    oracle=_sql_token_stats("duck"),
+    doc="Token counting: regex tokenizer (metadata.py:218-226 semantics) + "
+        "whitespace tokens + distinct counts + avg token length.",
+    tags=("text", "bench"),
+)
+
+
+def _sql_langid_vote(d: str) -> str:
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    if d == "spark":
+        hits = f"size(filter(toks, x -> x in ({stop_in})))"
+        sz = "size(toks)"
+    else:
+        hits = f"len(list_filter(toks, x -> x in ({stop_in})))"
+        sz = "len(toks)"
+    return f"""
+WITH tok AS (SELECT doc_id, lang, {_tokens(d, 'text')} AS toks FROM documents),
+v AS (SELECT doc_id, lang, {hits} AS stop_hits, {sz} AS n_tokens FROM tok)
+SELECT doc_id, stop_hits, n_tokens,
+  CASE WHEN n_tokens = 0 THEN 'und'
+       WHEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02 THEN 'en' ELSE 'other' END AS predicted_lang,
+  CASE WHEN lang = 'en' AND n_tokens > 0 AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02 THEN 1
+       WHEN lang <> 'en' AND NOT (n_tokens > 0 AND CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.02) THEN 1
+       ELSE 0 END AS agrees_with_label
+FROM v ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_langid_vote",
+    spark_sql=_sql_langid_vote("spark"),
+    oracle=_sql_langid_vote("duck"),
+    doc="Stopword-vote language ID (SQL-expressible stand-in for the "
+        "hashed-char-n-gram model in functions/langid.py, which runs in "
+        "the clips pipeline).",
+    tags=("text",),
+)
+
+
+def _sql_pii_scrub(d: str) -> str:
+    flags = "" if d == "spark" else ", 'g'"
+    ssn = r"\\d{3}-\\d{2}-\\d{4}" if d == "spark" else r"\d{3}-\d{2}-\d{4}"
+    email = (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        if d == "spark"
+        else r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    )
+    phone = r"\\d{3}-\\d{3}-\\d{4}" if d == "spark" else r"\d{3}-\d{3}-\d{4}"
+    if d == "spark":
+        cnt = (
+            f"size(regexp_extract_all(text, '{ssn}', 0)) + "
+            f"size(regexp_extract_all(text, '{email}', 0)) + "
+            f"size(regexp_extract_all(text, '{phone}', 0))"
+        )
+    else:
+        cnt = (
+            f"len(regexp_extract_all(text, '{ssn}')) + "
+            f"len(regexp_extract_all(text, '{email}')) + "
+            f"len(regexp_extract_all(text, '{phone}'))"
+        )
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{ssn}', '<SSN>'{flags}), '{email}', '<EMAIL>'{flags}), '{phone}', '<PHONE>'{flags})"
+    )
+    return f"""
+SELECT doc_id, {cnt} AS pii_hits, {_polyhash(d, scrub)} AS scrubbed_hash,
+       length({scrub}) AS scrubbed_len
+FROM documents ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_pii_scrub",
+    spark_sql=_sql_pii_scrub("spark"),
+    oracle=_sql_pii_scrub("duck"),
+    doc="Compiled-regex PII scrub (north rule): SSN/email/phone patterns "
+        "replaced with placeholder tags, hit counts emitted; the clips "
+        "pipeline's functions/pii.py is the batched-UDF twin.",
+    tags=("text", "policy"),
+)
+
+
+# ------------------------------------------------------------ embeddings ---
+
+def _sql_cosine_topk(d: str) -> str:
+    cos = _cos(d, "p.embedding", "e.embedding")
+    return f"""
+WITH p AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({cos}, 6) AS cos_sim
+FROM embeddings e CROSS JOIN p
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+_q(
+    "emb_cosine_topk",
+    spark_sql=_sql_cosine_topk("spark"),
+    oracle=_sql_cosine_topk("duck"),
+    doc="Brute-force cosine top-k for one probe vector (J4 one-vs-all "
+        "probe, metadata.py:196-211): broadcast the probe, exact float64 "
+        "dot in array order (bit-identical to oracle).",
+    tags=("ann", "bench"),
+)
+
+
+def _sql_cosine_pairs(d: str) -> str:
+    cos = _cos(d, "a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {COS_PAIR_MIN}
+ORDER BY id_a, id_b
+"""
+
+
+_q(
+    "emb_cosine_pairs",
+    spark_sql=_sql_cosine_pairs("spark"),
+    oracle=_sql_cosine_pairs("duck"),
+    doc="Embedding-cosine near-dup pairs >= 0.35 (P5's cosine >= 0.95 "
+        "analog on the driver's uncorrelated vectors). Exact self-join at "
+        "test SF; the 100TB path is LSH/IVF bucketing (emb_ivf_topk) so "
+        "the quadratic form never runs at scale.",
+    tags=("ann",),
+)
+
+
+def _sql_ivf_topk(d: str) -> str:
+    cos_sv = _cos(d, "s.embedding", "v.embedding")
+    cos_pv = _cos(d, "p.embedding", "v.embedding")
+    cos_ps = _cos(d, "p.embedding", "s.embedding")
+    return f"""
+WITH seeds AS (SELECT vec_id AS seed_id, embedding FROM embeddings WHERE vec_id < 16),
+p AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, seed_id FROM (
+    SELECT v.vec_id, s.seed_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_sv} DESC, s.seed_id) AS rn
+    FROM embeddings v CROSS JOIN seeds s) t WHERE rn = 1),
+probe_lists AS (
+  SELECT seed_id FROM (
+    SELECT s.seed_id, row_number() OVER (ORDER BY {cos_ps} DESC, s.seed_id) AS rn
+    FROM seeds s CROSS JOIN p) t WHERE rn <= 4)
+SELECT v.vec_id, round({cos_pv}, 6) AS cos_sim
+FROM embeddings v
+JOIN assign ON v.vec_id = assign.vec_id
+JOIN probe_lists pl ON assign.seed_id = pl.seed_id
+CROSS JOIN p
+WHERE v.vec_id <> 0
+ORDER BY cos_sim DESC, v.vec_id
+LIMIT 10
+"""
+
+
+_q(
+    "emb_ivf_topk",
+    spark_sql=_sql_ivf_topk("spark"),
+    oracle=_sql_ivf_topk("duck"),
+    doc="IVF-style ANN: 16 coarse centroids (seed vectors), each vector "
+        "assigned to its nearest centroid (window argmin), probe searches "
+        "only the 4 nearest inverted lists — the scale path where "
+        "brute-force cosine is quadratic.",
+    tags=("ann", "bench"),
+)
+
+
+# ---------------------------------------------------------------- events ---
+
+def _sql_daily_trend(d: str) -> str:
+    return f"""
+SELECT {_fmt_day(d, 'ts')} AS day, count(*) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY {_fmt_day(d, 'ts')} ORDER BY day
+"""
+
+
+_q(
+    "events_daily_trend",
+    spark_sql=_sql_daily_trend("spark"),
+    oracle=_sql_daily_trend("duck"),
+    doc="A3 daily trend: group by day, count + rounded avg "
+        "(routes.py:499-510, :544-546).",
+    tags=("agg", "bench"),
+)
+
+
+def _sql_seven_day(d: str) -> str:
+    return """
+WITH mx AS (SELECT max(ts) AS mts FROM events)
+SELECT event_type, count(*) AS n
+FROM events, mx
+WHERE ts >= mts - INTERVAL 7 DAY
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+_q(
+    "events_seven_day_window",
+    spark_sql=_sql_seven_day("spark"),
+    oracle=_sql_seven_day("duck"),
+    doc="F5 7-day time-window filter relative to the newest event "
+        "(routes.py:455, :487-496).",
+    tags=("agg",),
+)
+
+
+def _sql_latest_per_user(d: str) -> str:
+    return f"""
+SELECT user_id, event_id, {_epoch_us(d, 'ts')} AS ts_us, event_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+_q(
+    "events_latest_per_user",
+    spark_sql=_sql_latest_per_user("spark"),
+    oracle=_sql_latest_per_user("duck"),
+    doc="J6 latest-wins window dedup: row_number over (partition by key "
+        "order by ts desc) = 1 (routes.py:63-81).",
+    tags=("window", "bench"),
+)
+
+
+def _sql_top_recent(d: str) -> str:
+    return f"""
+SELECT event_id, {_epoch_us(d, 'ts')} AS ts_us, event_type, user_id
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 20
+"""
+
+
+_q(
+    "events_top_recent",
+    spark_sql=_sql_top_recent("spark"),
+    oracle=_sql_top_recent("duck"),
+    doc="O6 global top-k recents (routes.py:568): orderBy desc + limit — "
+        "Spark executes as TakeOrderedAndProject (no full sort).",
+    tags=("sort",),
+)
+
+
+def _sql_type_counters(d: str) -> str:
+    return """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+_q(
+    "events_type_counters",
+    spark_sql=_sql_type_counters("spark"),
+    oracle=_sql_type_counters("duck"),
+    doc="A2 run counters analog: counts + distinct users + value sums per "
+        "type (metadata.py:641-643).",
+    tags=("agg",),
+)
+
+
+def _sql_hourly_windows(d: str) -> str:
+    ep = _epoch_us(d, "ts")
+    if d == "spark":
+        hr = f"cast(floor({ep} / 3600000000.0) as bigint)"
+    else:
+        hr = f"floor({ep} / 3600000000.0)::BIGINT"
+    return f"""
+SELECT {hr} AS hour_idx, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY {hr}, event_type ORDER BY hour_idx, event_type
+"""
+
+
+_q(
+    "events_hourly_tumbling",
+    spark_sql=_sql_hourly_windows("spark"),
+    oracle=_sql_hourly_windows("duck"),
+    doc="1-hour tumbling-window aggregation per event type (batch form of "
+        "the streaming windowed agg; epoch-hour bucketing).",
+    tags=("agg", "streaming"),
+)
+
+
+def _sql_json_extract(d: str) -> str:
+    if d == "spark":
+        k = "cast(get_json_object(props, '$.k') as bigint)"
+    else:
+        k = "(props->>'k')::BIGINT"
+    return f"""
+SELECT ({k}) % 10 AS k_mod, count(*) AS n, min({k}) AS k_min, max({k}) AS k_max
+FROM events GROUP BY ({k}) % 10 ORDER BY k_mod
+"""
+
+
+_q(
+    "events_json_extract",
+    spark_sql=_sql_json_extract("spark"),
+    oracle=_sql_json_extract("duck"),
+    doc="C11 JSON field extraction + aggregation over the events props "
+        "column (from_json/get_json_object path).",
+    tags=("text", "agg"),
+)
+
+
+# ------------------------------------------------------------ relational ---
+
+def _sql_tpch_q1(d: str) -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+_q(
+    "tpch_q1_pricing_summary",
+    spark_sql=_sql_tpch_q1("spark"),
+    oracle=_sql_tpch_q1("duck"),
+    doc="TPC-H Q1-style pricing summary: predicate pushed to parquet scan, "
+        "partial (map-side) aggregation before the shuffle.",
+    tags=("agg", "bench"),
+)
+
+
+def _sql_tpch_q3(d: str) -> str:
+    return """
+SELECT l.l_orderkey AS orderkey,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  max(o.o_orderpriority) AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+_q(
+    "tpch_q3_topk_revenue",
+    spark_sql=_sql_tpch_q3("spark"),
+    oracle=_sql_tpch_q3("duck"),
+    doc="TPC-H Q3-style join+agg+top-k: customer (broadcast under AQE) "
+        "joins orders joins lineitem; revenue top-10.",
+    tags=("join", "bench"),
+)
+
+
+def _sql_region_rollup(d: str) -> str:
+    return """
+SELECT r.r_name AS region, n.n_name AS nation,
+  count(DISTINCT c.c_custkey) AS n_customers,
+  count(o.o_orderkey) AS n_orders,
+  round(sum(o.o_totalprice), 2) AS total_price
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY r.r_name, n.n_name
+ORDER BY region, nation
+"""
+
+
+_q(
+    "region_nation_rollup",
+    spark_sql=_sql_region_rollup("spark"),
+    oracle=_sql_region_rollup("duck"),
+    doc="Broadcast-join chain over the dimension snowflake (region/nation "
+        "are tiny → broadcast hash joins, no shuffle of orders on the dim "
+        "side).",
+    tags=("join",),
+)
+
+
+def _sql_supplier_part_join(d: str) -> str:
+    return """
+SELECT s.s_name AS supplier, count(*) AS n_lines,
+  round(sum(l.l_extendedprice), 2) AS total_price,
+  round(min(p.p_retailprice), 2) AS min_retail,
+  round(max(p.p_retailprice), 2) AS max_retail
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 25
+GROUP BY s.s_name
+ORDER BY supplier
+"""
+
+
+_q(
+    "supplier_part_agg",
+    spark_sql=_sql_supplier_part_join("spark"),
+    oracle=_sql_supplier_part_join("duck"),
+    doc="Fact-to-two-dims join with a pushed-down dim filter (p_size <= "
+        "25 prunes part before the join).",
+    tags=("join",),
+)
+
+
+def _sql_max_pair_sim(d: str) -> str:
+    base = _sql_shingle_jaccard(d).strip().rstrip()
+    base = base[: base.rfind("ORDER BY")]
+    return (
+        f"WITH pairs AS ({base}), "
+        f"sides AS (SELECT id_a AS doc_id, jaccard FROM pairs "
+        f"  UNION ALL SELECT id_b AS doc_id, jaccard FROM pairs) "
+        f"SELECT doc_id, max(jaccard) AS max_jaccard, count(*) AS n_pairs "
+        f"FROM sides GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+_q(
+    "doc_max_pair_similarity",
+    spark_sql=_sql_max_pair_sim("spark"),
+    oracle=_sql_max_pair_sim("duck"),
+    doc="A7 max similarity per document over the near-dup pair list "
+        "(routes.py:374-378), with A8's symmetric explode of unordered "
+        "pairs.",
+    tags=("agg", "dedup"),
+)
+
+
+# ------------------------------------------------- clips (rows-only ops) ---
+
+def _clips_pipeline_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full audio clips quality-filter pipeline on deterministically
+    generated clips (no SQL oracle — verified against the pure-Python
+    oracle in tests/test_golden.py instead)."""
+    from pyspark.sql import functions as F
+
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .pipeline import run_pipeline
+
+    n = 2000 if "0.001" in sf_dir else 4000
+    res = run_pipeline(clips_df(spark, n), DEFAULT_RUN_TS).results
+    return res.select(
+        "clip_id", "status", "lang",
+        F.round("ppl", 4).alias("ppl"),
+        "pii_hits", "toxic_hits",
+        F.col("is_dup").cast("int").alias("is_dup"),
+        "overall_quality_score", "recommended_action",
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("clip_id")
+
+
+_q(
+    "clips_quality_labels",
+    fn=_clips_pipeline_results,
+    doc="Flagship clips pipeline end-to-end (enrich -> dedup -> 17-dim "
+        "policy) on generated audio+transcript rows; golden-tested vs the "
+        "pure-Python oracle (F1 gate).",
+    tags=("clips", "policy"),
+)
+
+
+def _clips_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .pipeline import run_pipeline
+
+    res = run_pipeline(clips_df(spark, 2000), DEFAULT_RUN_TS)
+    return res.duplicate_pairs.select(
+        "clip_1", "clip_2",
+        F.round("metadata_similarity", 2).alias("metadata_similarity"),
+        F.round("similarity", 2).alias("similarity"),
+    ).orderBy("clip_1", "clip_2")
+
+
+_q(
+    "clips_duplicate_pairs",
+    fn=_clips_dup_pairs,
+    doc="Clips near-dup pair list (P5 reporting shape: file_1/file_2/"
+        "similarity percent, metadata.py:592-597) from the LSH + cogroup "
+        "path.",
+    tags=("clips", "dedup"),
+)
+
+
+def _clips_audio_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-PCM invariant check distributed over executors: decode the
+    WAV bytes, recompute the reference waveform from the clip index, emit
+    per-clip SNR (input_hint: SNR >= 30 dB)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df, reference_waveform
+    from .functions.audio import decode_wav_pcm16
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                idx = int(cid.split("_")[1])
+                try:
+                    dec = decode_wav_pcm16(bytes(raw))
+                except ValueError:
+                    rows.append((cid, 0, 0.0, 0))
+                    continue
+                sig = dec.pcm.astype(np.float64) / 32767.0  # invert encode scale
+                ref = reference_waveform(idx, int(len(sig) * 1000 / dec.sr_hz))
+                m = min(len(ref), len(sig))
+                noise = ref[:m] - sig[:m]
+                p_sig = float(np.mean(ref[:m] ** 2))
+                p_noise = float(np.mean(noise**2)) or 1e-12
+                snr = 10.0 * np.log10(p_sig / p_noise) if p_sig > 0 else 99.0
+                rows.append((cid, 1, round(float(snr), 2), int(snr >= 30.0 or p_sig == 0)))
+            yield pd.DataFrame(rows, columns=["clip_id", "decode_ok", "snr_db", "snr_pass"])
+
+    clips = clips_df(spark, 1000, run_ts=DEFAULT_RUN_TS)
+    return clips.select("clip_id", "bytes").mapInPandas(
+        stats, schema="clip_id string, decode_ok int, snr_db double, snr_pass int"
+    ).orderBy("clip_id")
+
+
+_q(
+    "clips_audio_invariants",
+    fn=_clips_audio_invariants,
+    doc="Per-row audio invariant (input_hint): decode PCM in an Arrow-"
+        "batched pass, SNR vs the analytically recomputed reference "
+        "waveform, >= 30 dB.",
+    tags=("clips", "audio"),
+)
+
+
+# --------------------------------------------------------------------------
+# Public surface consumed by __spark_entry__.py
+# --------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.run for name, q in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in CATALOG.items() if q.oracle}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full quality-filter semantics over the sf0.001 documents
+    table — policy scores + exact-dup flags + near-dup max-similarity in
+    one result frame."""
+    sf_dir = "/root/testdata/sf0.001"
+    _register(spark, sf_dir)
+    policy = spark.sql(_sql_quality_policy("spark"))
+    members = spark.sql(_sql_dedup_members("spark"))
+    sims = spark.sql(_sql_max_pair_sim("spark"))
+    out = (
+        policy.join(members.select("doc_id", "group_size", "is_exact_dup"), "doc_id")
+        .join(sims.select("doc_id", "max_jaccard"), "doc_id", "left")
+        .na.fill({"max_jaccard": 0.0})
+        .orderBy("doc_id")
+    )
+    return out

@@ -1,0 +1,72 @@
+"""Guards the driver contract: a representative subset of the query
+catalog is run through Spark AND its DuckDB oracle at sf0.001 and
+compared exactly (the full sweep lives in tools/selfcheck.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from dataquality_spark.queries import CATALOG, TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "doc_quality_policy",
+    "doc_shingle_jaccard_pairs",
+    "doc_minhash_band_pairs",
+    "doc_simhash",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "events_latest_per_user",
+    "tpch_q1_pricing_summary",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_catalog_matches_oracle(spark, duck, name):
+    q = CATALOG[name]
+    assert q.oracle, f"{name} has no oracle"
+    sdf = q.run(spark, SF_DIR).toPandas()
+    odf = duck.execute(q.oracle).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    a, b = _norm(sdf), _norm(odf)
+    for c in a.columns:
+        if a[c].dtype != b[c].dtype:
+            try:
+                b[c] = b[c].astype(a[c].dtype)
+            except (ValueError, TypeError):
+                a[c], b[c] = a[c].astype(str), b[c].astype(str)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_every_query_has_doc_and_callable():
+    for name, q in CATALOG.items():
+        assert q.doc, name
+        assert q.fn or q.spark_sql, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    assert df.count() > 0
+    assert set(m.oracle_sql()) <= set(m.queries())

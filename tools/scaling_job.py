@@ -1,0 +1,59 @@
+"""spark-submit job for the two-parallelism scaling evidence (north rule:
+N vs 4N executors; sandbox stand-in is local[8] vs local[32] on identical
+input — same total work, 4x the cores).
+
+Usage:
+    spark-submit --master local[N] --py-files dataquality_spark.zip \
+        tools/scaling_job.py <clips_parquet> <cores> <out_json>
+
+Times ONLY the pipeline (read -> enrich -> dedup -> policy -> noop sinks);
+input materialization is excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    clips_path, cores, out_json = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    spark = (
+        SparkSession.builder.appName(f"scaling_{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from dataquality_spark.datagen.clips import DEFAULT_RUN_TS
+    from dataquality_spark.pipeline import run_pipeline
+
+    clips = spark.read.parquet(clips_path)
+    n = clips.count()  # warm the input listing/footers; not part of timing
+
+    t0 = time.time()
+    res = run_pipeline(clips, DEFAULT_RUN_TS, include_evidence=False,
+                       partitions=max(cores, 8))
+    res.results.write.format("noop").mode("overwrite").save()
+    res.duplicate_pairs.write.format("noop").mode("overwrite").save()
+    res.run_metrics.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+
+    out = {"cores": cores, "n_clips": n, "wall_sec": round(wall, 2),
+           "clips_per_sec": round(n / wall, 1)}
+    with open(out_json, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry through Spark and, when an oracle exists,
+the paired SQL through DuckDB on the same parquet tables; compares row
+count, column names, and order-insensitive values. Usage:
+
+    python tools/selfcheck.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from dataquality_spark.session import get_spark
+
+    spark = get_spark(app_name="selfcheck")
+    con = duckdb.connect()
+    from dataquality_spark.queries import TABLES
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok*   {name}: {len(sdf)} rows (rows-only, no oracle) [{dt:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+            continue
+        if len(sdf) != len(odf):
+            failures.append(name)
+            print(f"FAIL  {name}: rows {len(sdf)} vs {len(odf)}")
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        for c in a.columns:  # dtype harmonization (e.g. int32 vs int64)
+            if a[c].dtype != b[c].dtype:
+                try:
+                    b[c] = b[c].astype(a[c].dtype)
+                except (ValueError, TypeError):
+                    a[c] = a[c].astype(str)
+                    b[c] = b[c].astype(str)
+        if not a.equals(b):
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad_cols = [c for c in a.columns if neq[c].any()]
+            failures.append(name)
+            print(f"FAIL  {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:2]:
+                i = neq[c].idxmax()
+                print(f"      first diff {c}[{i}]: spark={a[c][i]!r} oracle={b[c][i]!r}")
+            continue
+        print(f"OK    {name}: {len(sdf)} rows match [{dt:.1f}s]")
+
+    if not only:
+        t0 = time.time()
+        edf = entry_mod.entry(spark)
+        n = edf.count()
+        print(f"entry(): {n} rows, schema: {[f.name for f in edf.schema.fields]} [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
