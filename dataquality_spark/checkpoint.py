@@ -1,0 +1,115 @@
+"""Checkpointed, resumable pipeline runs (SURVEY §7.1 M5).
+
+Stage layout at scale:
+
+1. **enrich** (decode + scorers) is the expensive, embarrassingly-parallel
+   stage → it is checkpointed per partition batch: clips are split by
+   ``pmod(xxhash64(clip_id), n_batches)`` (the same salted hash the
+   pipeline shuffles on, so batches are uniform even when input files
+   cluster duplicates), each batch's enriched output is appended to the
+   enriched table and committed to the manifest with metrics. A killed run
+   resumes by skipping committed batch ids — no recompute, no duplicates.
+2. **dedup + policy** are global (near-dup pairs cross batch boundaries,
+   like the reference's whole-run pairwise scan, metadata.py:514-624) and
+   cheap relative to enrich: they run over the slim committed enriched
+   table (no audio bytes — column-pruning discipline of SURVEY §4).
+
+The reference has no recovery story (a failed run loses all work,
+"reconstruction" re-reads JSON side-files, metadata.py:789-861); this
+replaces it with commit-log semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io.tableio import Manifest, append_batch, read_table
+from .operators.dedup import DedupResult, dedup
+from .operators.enrich import enrich
+from .operators.scoring import with_dimensions, with_policy
+from .pipeline import RESULT_COLUMNS, PipelineResult
+
+
+class CheckpointedRun(NamedTuple):
+    result: PipelineResult
+    lineage: DataFrame          # per-batch metrics (snapshots analog)
+    batches_run: list[int]      # batches actually computed this invocation
+    batches_skipped: list[int]  # batches resumed from the manifest
+
+
+def run_checkpointed(
+    clips: DataFrame,
+    run_ts: dt.datetime,
+    out_dir: str,
+    n_batches: int = 8,
+    include_evidence: bool = True,
+    fail_after_batches: int | None = None,
+) -> CheckpointedRun:
+    """Run the pipeline with per-batch enrich checkpointing under
+    ``out_dir``. ``fail_after_batches`` simulates a mid-run crash for
+    tests: raises after committing that many new batches."""
+    spark = clips.sparkSession
+    enriched_dir = os.path.join(out_dir, "enriched")
+    manifest = Manifest(enriched_dir)
+
+    done = manifest.committed_batches()
+    batched = clips.withColumn(
+        "batch_id", F.pmod(F.xxhash64("clip_id"), F.lit(n_batches)).cast("int")
+    )
+
+    ran, skipped = [], []
+    for b in range(n_batches):
+        if b in done:
+            skipped.append(b)
+            continue
+        t0 = time.time()
+        part = batched.filter(F.col("batch_id") == b).drop("batch_id")
+        enr = enrich(part, run_ts)
+        path = append_batch(enr, enriched_dir, b)
+        n_rows = spark.read.parquet(path).count()
+        n_err = spark.read.parquet(path).filter(~F.col("decode_ok")).count()
+        manifest.commit(
+            b, {"n_rows": n_rows, "n_error": n_err,
+                "wall_sec": round(time.time() - t0, 3)}
+        )
+        ran.append(b)
+        if fail_after_batches is not None and len(ran) >= fail_after_batches:
+            raise RuntimeError(f"simulated failure after {len(ran)} batches")
+
+    # Global stages over the committed enriched table (slim columns only).
+    enriched = read_table(spark, enriched_dir, manifest).drop("batch")
+    dd: DedupResult = dedup(enriched)
+    scored = (
+        enriched.join(dd.flags, "clip_id", "left")
+        .fillna({"is_dup": False})
+        .withColumn(
+            "status", F.when(F.col("decode_ok"), "success").otherwise("error")
+        )
+        .withColumn("processed_at", F.lit(run_ts))
+    )
+    scored = with_policy(with_dimensions(scored, include_evidence))
+    results = scored.select(*RESULT_COLUMNS)
+    run_metrics = (
+        scored.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_drop"),
+            F.sum((F.col("status") == "error").cast("long")).alias("n_error"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_duplicates"),
+            F.avg("overall_quality_score").alias("avg_overall"),
+        )
+        .withColumn("run_ts", F.lit(run_ts))
+    )
+    return CheckpointedRun(
+        PipelineResult(results, dd.duplicate_pairs, dd.similarity_pairs, run_metrics),
+        manifest.lineage_df(spark),
+        ran,
+        skipped,
+    )

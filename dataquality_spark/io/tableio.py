@@ -1,0 +1,96 @@
+"""Table IO seam: Iceberg-style snapshot/append semantics over partitioned
+parquet + a JSON manifest (north rule: "Iceberg snapshot-based checkpointing
+so any partition can resume with per-partition lineage and metrics tables").
+
+No Iceberg runtime jar ships in this sandbox (probed: pyspark/jars has no
+iceberg artifact), so the production mapping is documented here and the
+sandbox implementation emulates the same semantics:
+
+    production                     | sandbox
+    -------------------------------+----------------------------------------
+    df.writeTo(tbl).append()       | df.write.parquet(dir/batch=k) + manifest
+    snapshot id per commit         | manifest entry {batch_id, seq, ts, ...}
+    tbl.snapshots metadata table   | manifest.json -> lineage DataFrame
+    resume via snapshot diff       | skip batch ids already in manifest
+
+The manifest append is atomic (write tmp + os.replace), so a killed run
+never leaves a half-registered batch: a batch is either fully written and
+in the manifest, or invisible and redone on resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Manifest:
+    """Append-only commit log for one logical table (snapshot emulation)."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.path = os.path.join(table_dir, "manifest.json")
+
+    def entries(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return json.load(f)
+
+    def committed_batches(self) -> set[int]:
+        return {e["batch_id"] for e in self.entries()}
+
+    def commit(self, batch_id: int, metrics: dict) -> dict:
+        entries = self.entries()
+        entry = {
+            "batch_id": batch_id,
+            "sequence_number": len(entries),  # snapshot-id analog
+            "committed_at": time.time(),
+            **metrics,
+        }
+        entries.append(entry)
+        tmp = self.path + ".tmp"
+        os.makedirs(self.table_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1)
+        os.replace(tmp, self.path)  # atomic on POSIX
+        return entry
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """Per-partition lineage + metrics as a DataFrame (the `snapshots`
+        metadata-table analog)."""
+        entries = self.entries()
+        schema = (
+            "batch_id int, sequence_number int, committed_at double, "
+            "n_rows bigint, n_error bigint, wall_sec double"
+        )
+        rows = [
+            (
+                int(e["batch_id"]), int(e["sequence_number"]),
+                float(e["committed_at"]), int(e.get("n_rows", 0)),
+                int(e.get("n_error", 0)), float(e.get("wall_sec", 0.0)),
+            )
+            for e in entries
+        ]
+        return spark.createDataFrame(rows, schema)
+
+
+def append_batch(df: DataFrame, table_dir: str, batch_id: int) -> str:
+    """Write one partition batch under ``table_dir/batch=<id>/`` (the
+    ``append()`` analog). Caller commits to the manifest afterwards."""
+    path = os.path.join(table_dir, f"batch={batch_id}")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_table(spark: SparkSession, table_dir: str, manifest: Manifest) -> DataFrame:
+    """Read ONLY manifest-committed batches (uncommitted = invisible,
+    exactly Iceberg's read isolation)."""
+    committed = sorted(manifest.committed_batches())
+    if not committed:
+        raise ValueError(f"no committed batches under {table_dir}")
+    paths = [os.path.join(table_dir, f"batch={b}") for b in committed]
+    return spark.read.option("basePath", table_dir).parquet(*paths)

@@ -144,12 +144,35 @@ def _sql_doc_tokens(d: str) -> str:
     return f"SELECT doc_id, {_tokens(d, 'text')} AS toks FROM documents"
 
 
+def _shingle_hashes(d: str, ths: str) -> str:
+    """Distinct 3-gram shingle hashes combined from a token-hash array —
+    integer-only arithmetic (the per-token char hash is computed once per
+    token, not once per shingle occurrence)."""
+    if d == "spark":
+        comb = (
+            f"((element_at({ths}, i) * 1000003 + element_at({ths}, i + 1)) % {MOD} "
+            f"* 1000003 + element_at({ths}, i + 2)) % {MOD}"
+        )
+        inner = f"transform(sequence(1, size({ths}) - 2), i -> {comb})"
+        return f"case when size({ths}) < 3 then array() else array_distinct({inner}) end"
+    comb = (
+        f"(({ths}[i] * 1000003 + {ths}[i + 1]) % {MOD} "
+        f"* 1000003 + {ths}[i + 2]) % {MOD}"
+    )
+    inner = f"list_transform(generate_series(1, (len({ths}) - 2)::BIGINT), i -> {comb})"
+    return f"case when len({ths}) < 3 then [] else list_distinct({inner}) end"
+
+
 def _sql_doc_shingle_rows(d: str) -> str:
     """doc_id, shingle-hash rows (distinct per doc)."""
+    if d == "spark":
+        ths = f"transform(toks, t -> {_polyhash('spark', 't')})"
+    else:
+        ths = f"list_transform(toks, t -> {_polyhash('duck', 't')})"
     return (
         f"WITH tok AS ({_sql_doc_tokens(d)}), "
-        f"shing AS (SELECT doc_id, {_explode(d, _shingles(d, 'toks'), 'sh')} FROM tok) "
-        f"SELECT doc_id, {_polyhash(d, 'sh')} AS h FROM shing"
+        f"th AS (SELECT doc_id, {ths} AS ths FROM tok) "
+        f"SELECT doc_id, {_explode(d, _shingle_hashes(d, 'ths'), 'h')} FROM th"
     )
 
 
@@ -313,8 +336,64 @@ def _sql_shingle_jaccard(d: str) -> str:
     )
 
 
+def _shingle_rows_df(spark: SparkSession, sf_dir: str):
+    """doc_id, shingle-hash rows as a persisted DataFrame. Spark inlines
+    SQL CTEs, so the (interpreted-HOF) char hashing would otherwise be
+    recomputed once per reference in the plan — persisting the slim
+    (doc_id, h) table computes it exactly once."""
+    _register(spark, sf_dir)
+    return spark.sql(_sql_doc_shingle_rows("spark")).persist()
+
+
+def _jaccard_pairs_df(spark: SparkSession, sf_dir: str, thresh: float,
+                      cand=None) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    sh = _shingle_rows_df(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if cand is None:
+        # Inverted-index self-join: the pair intersection count falls out
+        # of the join directly (one shuffle on h, one on the pair key).
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        inter = (
+            cand.join(sh.alias("x"), F.col("id_a") == F.col("x.doc_id"))
+            .join(sh.alias("y"), (F.col("id_b") == F.col("y.doc_id"))
+                  & (F.col("x.h") == F.col("y.h")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("i"))
+        )
+    jac = (
+        inter.join(sz.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sz.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a", "id_b",
+            (F.col("i").cast("double")
+             / (F.col("sa.n") + F.col("sb.n") - F.col("i")).cast("double")
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= thresh)
+        .orderBy("id_a", "id_b")
+    )
+    return jac
+
+
+def _fn_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs_df(spark, sf_dir, JACCARD_PAIR_MIN)
+
+
 _q(
     "doc_shingle_jaccard_pairs",
+    fn=_fn_shingle_jaccard,
     spark_sql=_sql_shingle_jaccard("spark"),
     oracle=_sql_shingle_jaccard("duck"),
     doc="n-gram Jaccard near-dup: inverted-index equi-join on word-3-gram "
@@ -373,8 +452,45 @@ def _sql_minhash_band_pairs(d: str) -> str:
     )
 
 
+def _fn_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    sh = _shingle_rows_df(spark, sf_dir)
+    sigs = (
+        sh.dropDuplicates(["doc_id", "h"])
+        .groupBy("doc_id")
+        .agg(*[
+            F.min((F.lit(MINHASH_A[k]) * F.col("h") + F.lit(MINHASH_B[k]))
+                  % F.lit(MINHASH_P)).alias(f"mh{k}")
+            for k in range(MINHASH_K)
+        ])
+    )
+    n_bands = MINHASH_K // BAND_ROWS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                ((F.col(f"mh{2 * i}") * F.lit(1000003)
+                  + F.col(f"mh{2 * i + 1}")) % F.lit(MOD)).alias("band_hash"),
+            )
+            for i in range(n_bands)
+        ])).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _jaccard_pairs_df(spark, sf_dir, MINHASH_VERIFY_MIN, cand=cand)
+
+
 _q(
     "doc_minhash_band_pairs",
+    fn=_fn_minhash_band_pairs,
     spark_sql=_sql_minhash_band_pairs("spark"),
     oracle=_sql_minhash_band_pairs("duck"),
     doc="MinHash+LSH near-dup end-to-end: band the 8-slot signature into 4 "
@@ -888,8 +1004,23 @@ def _sql_max_pair_sim(d: str) -> str:
     )
 
 
+def _fn_max_pair_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pairs = _jaccard_pairs_df(spark, sf_dir, JACCARD_PAIR_MIN)
+    sides = pairs.select(F.col("id_a").alias("doc_id"), "jaccard").unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"), "jaccard")
+    )
+    return (
+        sides.groupBy("doc_id")
+        .agg(F.max("jaccard").alias("max_jaccard"), F.count("*").alias("n_pairs"))
+        .orderBy("doc_id")
+    )
+
+
 _q(
     "doc_max_pair_similarity",
+    fn=_fn_max_pair_sim,
     spark_sql=_sql_max_pair_sim("spark"),
     oracle=_sql_max_pair_sim("duck"),
     doc="A7 max similarity per document over the near-dup pair list "

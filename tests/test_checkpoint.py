@@ -1,0 +1,65 @@
+"""Checkpoint/resume semantics: a crashed run resumes from the manifest
+and produces results identical to an uninterrupted run."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataquality_spark.checkpoint import run_checkpointed
+from dataquality_spark.datagen.clips import DEFAULT_RUN_TS, clips_df
+from dataquality_spark.io.tableio import Manifest
+
+N = 300
+N_BATCHES = 4
+
+
+def _labels(res):
+    return {
+        r["clip_id"]: (r["recommended_action"], r["is_dup"])
+        for r in res.results.select(
+            "clip_id", "recommended_action", "is_dup"
+        ).collect()
+    }
+
+
+def test_resume_after_crash_matches_clean_run(spark, tmp_path):
+    clips = clips_df(spark, N).cache()
+
+    clean = run_checkpointed(
+        clips, DEFAULT_RUN_TS, str(tmp_path / "clean"), n_batches=N_BATCHES
+    )
+    assert sorted(clean.batches_run) == list(range(N_BATCHES))
+    assert clean.result.results.count() == N
+
+    # Crash after 2 committed batches...
+    crash_dir = str(tmp_path / "crashy")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_checkpointed(
+            clips, DEFAULT_RUN_TS, crash_dir, n_batches=N_BATCHES,
+            fail_after_batches=2,
+        )
+    m = Manifest(crash_dir + "/enriched")
+    assert len(m.committed_batches()) == 2
+
+    # ...resume: only the remaining batches run, output identical.
+    resumed = run_checkpointed(
+        clips, DEFAULT_RUN_TS, crash_dir, n_batches=N_BATCHES
+    )
+    assert len(resumed.batches_skipped) == 2
+    assert len(resumed.batches_run) == 2
+    assert _labels(resumed.result) == _labels(clean.result)
+
+    # Lineage covers every batch with row counts that sum to N.
+    lineage = resumed.lineage.collect()
+    assert {r["batch_id"] for r in lineage} == set(range(N_BATCHES))
+    assert sum(r["n_rows"] for r in lineage) == N
+
+
+def test_rerun_is_fully_incremental(spark, tmp_path):
+    clips = clips_df(spark, 120)
+    d = str(tmp_path / "incr")
+    first = run_checkpointed(clips, DEFAULT_RUN_TS, d, n_batches=3)
+    second = run_checkpointed(clips, DEFAULT_RUN_TS, d, n_batches=3)
+    assert first.batches_run and not second.batches_run
+    assert len(second.batches_skipped) == 3
+    assert second.result.results.count() == 120
