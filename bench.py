@@ -41,14 +41,36 @@ def main() -> None:
     from dataquality_spark.queries import CATALOG
     from dataquality_spark.session import get_spark
 
+    # Materialize the clips input in a SUBPROCESS so datagen cost (and its
+    # JVM heap/GC state — spark.stop() reuses the same py4j JVM) cannot
+    # bleed into the timed measurements.
+    if not os.path.exists(os.path.join(CLIPS_CACHE, "_SUCCESS")):
+        shutil.rmtree(CLIPS_CACHE, ignore_errors=True)
+        import subprocess
+        code = (
+            "import sys; sys.path.insert(0, %r); "
+            "from dataquality_spark.session import get_spark; "
+            "from dataquality_spark.datagen.clips import write_clips_parquet; "
+            "s = get_spark(app_name='bench-datagen', master='local[%d]', "
+            "shuffle_partitions=%d); "
+            "write_clips_parquet(s, %r, %d); s.stop()"
+            % (os.path.dirname(os.path.abspath(__file__)), CPUS, CPUS,
+               CLIPS_CACHE, N_CLIPS)
+        )
+        subprocess.run([sys.executable, "-c", code], check=True)
+
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
 
-    if not os.path.exists(os.path.join(CLIPS_CACHE, "_SUCCESS")):
-        shutil.rmtree(CLIPS_CACHE, ignore_errors=True)
-        write_clips_parquet(spark, CLIPS_CACHE, N_CLIPS)
-
     timings: dict[str, float] = {}
+
+    # --- warmup: spin up executor threads, Python workers, codegen -------
+    warm = run_pipeline(
+        spark.read.parquet(CLIPS_CACHE).limit(512), DEFAULT_RUN_TS,
+        include_evidence=False,
+    )
+    _force(warm.results)
+    spark.catalog.clearCache()
 
     # --- flagship: clips quality-filter pipeline -------------------------
     clips = spark.read.parquet(CLIPS_CACHE)

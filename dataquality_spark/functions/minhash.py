@@ -94,17 +94,31 @@ def exact_jaccard(tokens_a: list[str], tokens_b: list[str]) -> float:
 def signature_frame(texts) -> dict[str, list]:
     """Batch: transcripts -> dict with tokens, minhash sig, band hashes, bow.
 
-    One tokenize pass per row feeds all three derived columns.
+    One tokenize pass per row feeds all three derived columns.  ``minhash_sig``
+    and ``bow`` are emitted as packed little-endian byte blobs (uint64[64] /
+    float32[256]) — a BinaryType column crosses the Arrow boundary and the
+    JVM row format as one memcpy instead of 64/256 boxed elements, which
+    measurably dominates the enrich stage cost at scale.
     """
     toks_col: list[list[str]] = []
-    sig_col: list[list[int]] = []
+    sig_col: list[bytes] = []
     band_col: list[list[int]] = []
-    bow_col: list[np.ndarray] = []
+    bow_col: list[bytes] = []
     for t in texts:
         toks = tokenize(t if t is not None else "")
         sig = minhash_signature(toks)
         toks_col.append(toks)
-        sig_col.append([int(x) for x in sig.astype(np.int64)])
-        band_col.append([int(x) for x in band_hashes(sig)])
-        bow_col.append(bow_vector(toks))
+        sig_col.append(sig.astype("<u8").tobytes())
+        band_col.append(band_hashes(sig).tolist())
+        bow_col.append(bow_vector(toks).astype("<f4").tobytes())
     return {"tokens": toks_col, "minhash_sig": sig_col, "bands": band_col, "bow": bow_col}
+
+
+def unpack_sig(blob: bytes) -> np.ndarray:
+    """Inverse of the ``signature_frame`` minhash packing."""
+    return np.frombuffer(blob, dtype="<u8")
+
+
+def unpack_bow(blob: bytes) -> np.ndarray:
+    """Inverse of the ``signature_frame`` bow packing."""
+    return np.frombuffer(blob, dtype="<f4")

@@ -103,8 +103,9 @@ def _attach_and_score(buckets: int):
         sel = f.loc[cand["id_b"].values]
         a_tok = cand["a_tokens"].values
         b_tok = sel["tokens"].values
-        a_bow = np.stack([np.asarray(v, dtype=np.float32) for v in cand["a_bow"]])
-        b_bow = np.stack([np.asarray(v, dtype=np.float32) for v in sel["bow"]])
+        # bow blobs -> (n, dim) float32 matrix: one frombuffer per side
+        a_bow = np.frombuffer(b"".join(cand["a_bow"]), dtype="<f4").reshape(len(cand), -1)
+        b_bow = np.frombuffer(b"".join(sel["bow"]), dtype="<f4").reshape(len(cand), -1)
         # cosine, vectorized: vectors are L2-normalized at construction
         cos = np.einsum("ij,ij->i", a_bow, b_bow).astype(np.float64)
         jac = np.empty(len(cand), dtype=np.float64)
@@ -193,7 +194,7 @@ def dedup(enriched: DataFrame, buckets: int = 64) -> DedupResult:
         .cogroup(feats_bk.groupBy("bucket"))
         .applyInPandas(
             lambda c, f: attach_a(c, f),
-            schema="id_a string, id_b string, a_tokens array<string>, a_bow array<float>",
+            schema="id_a string, id_b string, a_tokens array<string>, a_bow binary",
         )
     )
     attached_b = attached.withColumn(

@@ -44,7 +44,7 @@ ENRICHED_SCHEMA = (
     "lang string, lang_conf double, ppl double, pii_hits int, toxic_hits int, "
     "scrubbed_transcript string, n_chars int, n_tokens int, n_distinct int, "
     "alpha_space_ratio double, t_hash bigint, tokens array<string>, "
-    "minhash_sig array<bigint>, bands array<bigint>, bow array<float>"
+    "minhash_sig binary, bands array<bigint>, bow binary"
 )
 
 
@@ -100,7 +100,7 @@ def enrich_batch(pdf: pd.DataFrame, langid_model, char_lm) -> pd.DataFrame:
             "tokens": toks,
             "minhash_sig": sigf["minhash_sig"],
             "bands": sigf["bands"],
-            "bow": [v for v in sigf["bow"]],
+            "bow": sigf["bow"],
         }
     )
     return out

@@ -48,12 +48,16 @@ def run_pipeline(
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # Salted repartition by clip_id hash (north rule): spreads any upstream
-    # clustering (e.g. duplicate clusters co-located in input files) evenly
-    # before the expensive enrich stage.
-    clips = clips.repartition(partitions, F.pmod(F.xxhash64("clip_id"), F.lit(partitions)))
-
     enriched = enrich(clips, run_ts)
+    # Salted repartition by clip_id hash (north rule): spreads duplicate
+    # clusters (co-located in input files) evenly before the dedup joins.
+    # Deliberately AFTER enrich: the map-only enrich stage consumes `bytes`
+    # in place on the scan partitions, so the audio payload — the dominant
+    # volume at 100 TB — never enters a shuffle; only slim enriched columns
+    # are redistributed.
+    enriched = enriched.repartition(
+        partitions, F.pmod(F.xxhash64("clip_id"), F.lit(partitions))
+    )
     # Reused by the dedup joins AND the scoring/report path — persist once.
     enriched = enriched.persist()
 
