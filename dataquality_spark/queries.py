@@ -1030,6 +1030,191 @@ _q(
 )
 
 
+def _sql_simhash_hamming_pairs(d: str) -> str:
+    """SimHash near-dup: band the 32-bit fingerprint into 4 bytes; pairs
+    agreeing on >= 1 byte are candidates (pigeonhole: any pair with
+    hamming distance <= 3 differs in <= 3 bands, so shares >= 1 of 4 —
+    exact recall), then verify popcount(xor) <= 3."""
+    base = _sql_simhash(d)
+    base = base[: base.rfind("ORDER BY")]
+    if d == "spark":
+        def band(i: int) -> str:
+            return f"shiftright(simhash, {8 * i}) & 255"
+        ham = "bit_count(sh_a ^ sh_b)"
+    else:
+        def band(i: int) -> str:
+            return f"(simhash >> {8 * i}) & 255"
+        ham = "bit_count(xor(sh_a, sh_b))"
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS b, {band(i)} AS bv FROM sim"
+        for i in range(4)
+    )
+    return (
+        f"WITH sim AS ({base}), "
+        f"bands AS ({bands}), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        f"    a.simhash AS sh_a, b.simhash AS sh_b "
+        f"  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv "
+        f"    AND a.doc_id < b.doc_id) "
+        f"SELECT id_a, id_b, {ham} AS hamming "
+        f"FROM cand WHERE {ham} <= 3 "
+        f"ORDER BY id_a, id_b"
+    )
+
+
+_q(
+    "doc_simhash_hamming_pairs",
+    spark_sql=_sql_simhash_hamming_pairs("spark"),
+    oracle=_sql_simhash_hamming_pairs("duck"),
+    doc="SimHash near-dup pairs: 4x8-bit banding for candidates (exact "
+        "recall at hamming <= 3 by pigeonhole), popcount(xor) verify — "
+        "the bit-fingerprint sibling of MinHash LSH.",
+    tags=("dedup",),
+)
+
+
+def _sql_orders_rollup(d: str) -> str:
+    return """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+  coalesce(o_orderpriority, 'ALL') AS priority,
+  grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_priority,
+  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, status, priority
+"""
+
+
+_q(
+    "orders_status_rollup",
+    spark_sql=_sql_orders_rollup("spark"),
+    oracle=_sql_orders_rollup("duck"),
+    doc="ROLLUP hierarchy aggregation (status -> priority -> grand total) "
+        "with GROUPING() disambiguation — Spark expands to a single "
+        "shuffle over the grouping-set expansion.",
+    tags=("agg",),
+)
+
+
+def _sql_top3_per_user(d: str) -> str:
+    return f"""
+SELECT user_id, rn, event_id, {_epoch_us(d, 'ts')} AS ts_us, event_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn <= 3 ORDER BY user_id, rn
+"""
+
+
+_q(
+    "events_top3_per_user",
+    spark_sql=_sql_top3_per_user("spark"),
+    oracle=_sql_top3_per_user("duck"),
+    doc="Top-N per group via ranking window (§2.5 rank-per-partition "
+        "form): one hash shuffle on user_id, sort within partitions only.",
+    tags=("window",),
+)
+
+
+def _sql_asof_last_click(d: str) -> str:
+    if d == "spark":
+        last_click = (
+            "last(CASE WHEN event_type = 'click' THEN unix_micros(cast(ts as timestamp)) END, true) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        )
+    else:
+        last_click = (
+            "last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        )
+    return f"""
+WITH w AS (
+  SELECT user_id, event_id, event_type, {_epoch_us(d, 'ts')} AS ts_us,
+         {last_click} AS last_click_us
+  FROM events)
+SELECT user_id, event_id, ts_us, last_click_us,
+       (ts_us - last_click_us) AS us_since_click
+FROM w WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+
+_q(
+    "events_asof_last_click",
+    spark_sql=_sql_asof_last_click("spark"),
+    oracle=_sql_asof_last_click("duck"),
+    doc="As-of join expressed as an ignore-nulls last_value window: each "
+        "purchase matched to the user's most recent preceding click — no "
+        "range-join explosion, one partition-sorted pass.",
+    tags=("window", "join"),
+)
+
+
+def _sql_flexible_dates(d: str) -> str:
+    # Render each event's ts into one of two string formats (by parity),
+    # then re-parse with a coalesce of try-parsers — C8's 8-format
+    # flexible date parse (metadata.py:116-149) in engine form.
+    if d == "spark":
+        s1 = "date_format(ts, 'yyyy-MM-dd HH:mm:ss')"
+        s2 = "date_format(ts, 'MM/dd/yyyy HH:mm:ss')"
+        parse = (
+            "coalesce(try_to_timestamp(raw, 'yyyy-MM-dd HH:mm:ss'), "
+            "try_to_timestamp(raw, 'MM/dd/yyyy HH:mm:ss'))"
+        )
+    else:
+        s1 = "strftime(ts, '%Y-%m-%d %H:%M:%S')"
+        s2 = "strftime(ts, '%m/%d/%Y %H:%M:%S')"
+        parse = (
+            "coalesce(try_strptime(raw, '%Y-%m-%d %H:%M:%S'), "
+            "try_strptime(raw, '%m/%d/%Y %H:%M:%S'))"
+        )
+    return f"""
+WITH raws AS (
+  SELECT event_id, ts,
+         CASE WHEN event_id % 2 = 0 THEN {s1} ELSE {s2} END AS raw
+  FROM events)
+SELECT event_id, raw, {_epoch_us(d, parse)} AS parsed_us,
+       CAST({_epoch_us(d, parse)} = ({_epoch_us(d, 'ts')} {'div' if d == 'spark' else '//'} 1000000) * 1000000 AS INT) AS roundtrip_ok
+FROM raws ORDER BY event_id
+"""
+
+
+_q(
+    "events_flexible_date_parse",
+    spark_sql=_sql_flexible_dates("spark"),
+    oracle=_sql_flexible_dates("duck"),
+    doc="C8 flexible multi-format date parsing as coalesce(try_to_"
+        "timestamp(fmt1), try_to_timestamp(fmt2)) (metadata.py:116-149).",
+    tags=("text",),
+)
+
+
+def _sql_nation_setops(d: str) -> str:
+    return """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+u AS (SELECT nk FROM cn UNION SELECT nk FROM sn),
+i AS (SELECT nk FROM cn INTERSECT SELECT nk FROM sn),
+e AS (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+SELECT 'union' AS op, count(*) AS n FROM u
+UNION ALL SELECT 'intersect', count(*) FROM i
+UNION ALL SELECT 'except', count(*) FROM e
+ORDER BY op
+"""
+
+
+_q(
+    "nation_set_ops",
+    spark_sql=_sql_nation_setops("spark"),
+    oracle=_sql_nation_setops("duck"),
+    doc="Relational set algebra (UNION / INTERSECT / EXCEPT) over customer "
+        "vs supplier nation keys (§2.7 — free from Spark SQL).",
+    tags=("setops",),
+)
+
+
 # ------------------------------------------------- clips (rows-only ops) ---
 
 def _clips_pipeline_results(spark: SparkSession, sf_dir: str) -> DataFrame:

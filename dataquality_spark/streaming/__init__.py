@@ -1,0 +1,27 @@
+"""Structured Streaming surface of the engine.
+
+The reference is strictly batch (SURVEY §2.10) — these operators are the
+incremental-ingest counterpart a production deployment needs: new clip
+files land continuously, and the same enrich → score → policy DAG runs
+per micro-batch with exactly-once sinks and checkpoint-based resume.
+"""
+
+from .pipeline import (
+    CLIPS_STREAM_DDL,
+    dedup_stream,
+    lang_running_totals,
+    read_clip_stream,
+    run_scoring_query,
+    score_clips,
+    windowed_quality_trend,
+)
+
+__all__ = [
+    "CLIPS_STREAM_DDL",
+    "read_clip_stream",
+    "score_clips",
+    "dedup_stream",
+    "windowed_quality_trend",
+    "lang_running_totals",
+    "run_scoring_query",
+]

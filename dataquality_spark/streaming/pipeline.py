@@ -1,0 +1,186 @@
+"""Incremental (Structured Streaming) form of the quality-filter DAG.
+
+The reference app is batch-only — one POST = one full re-scan
+(``backend/app/api/routes.py:92-133``); its only "incremental" behavior is
+re-reading every result file per dashboard request (``routes.py:43-82``).
+At production scale clips land continuously, so this module re-expresses
+the same enrich → 17-dimension score → keep/drop policy DAG over a file
+source stream:
+
+* **source**: ``spark.readStream.schema(...).parquet(dir)`` — each newly
+  landed parquet file becomes part of the next micro-batch; at 100 TB this
+  is the autoloader pattern (file-notification source / Iceberg
+  incremental scan) with the identical downstream plan.
+* **per-clip stages are engine-shared**: :func:`score_clips` calls the
+  exact batch operators (``operators.enrich`` mapInPandas + native-expr
+  scoring) — mapInPandas and WholeStageCodegen expression trees run
+  unchanged under micro-batch execution, so batch and stream outputs are
+  bit-identical per row (asserted in tests/test_streaming.py).
+* **stateful ops**: exact-dup suppression via
+  ``dropDuplicatesWithinWatermark`` on the transcript hash (state expires
+  with the event-time watermark instead of growing forever — the
+  streaming analog of the batch exact-dedup groupBy); watermarked
+  tumbling-window quality trend (A3's daily trend, incremental); a
+  per-language running-totals operator via ``applyInPandasWithState``
+  (custom keyed state, the pattern for any bespoke accumulator Spark
+  lacks).
+* **exactly-once + resume**: the scoring query writes to a parquet sink
+  with a checkpoint dir; re-running with the same checkpoint processes
+  only unseen input files (test-verified). This is the streaming twin of
+  the batch engine's partition-checkpoint table (checkpoint.py).
+
+Near-dup LSH is deliberately NOT run per micro-batch: candidate
+generation is a self-join over the full corpus, which streaming cannot
+express incrementally without unbounded state. The deployment pattern is
+the hybrid one the batch engine already supports: stream scores clips on
+arrival; the LSH dedup job runs periodically over the accumulated results
+table (resumable via checkpoint.py) and retro-flags duplicates — same
+split Lambda/batch-refinement layout the papers use for web-scale dedup.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.enrich import enrich
+from ..operators.scoring import with_dimensions, with_policy
+
+CLIPS_STREAM_DDL = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+    "codec string, transcript string, ingest_ts timestamp"
+)
+
+STREAM_RESULT_COLUMNS = [
+    "clip_id", "status", "processed_at", "age_days", "lang", "lang_conf",
+    "ppl", "pii_hits", "toxic_hits", "is_dup", "scrubbed_transcript",
+    "overall_quality_score", "recommended_action", "keep", "t_hash",
+    "ingest_ts",
+]
+
+
+def read_clip_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of clips parquet files."""
+    reader = spark.readStream.schema(CLIPS_STREAM_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(input_dir)
+
+
+def score_clips(clips: DataFrame, run_ts: dt.datetime) -> DataFrame:
+    """enrich → dimensions → policy, batch/stream agnostic.
+
+    ``is_dup`` is False here (Uniqueness=100): near-dup needs corpus-wide
+    joins (see module docstring); exact duplicates are handled by
+    :func:`dedup_stream` upstream or the periodic batch dedup downstream.
+    """
+    scored = enrich(clips, run_ts).withColumn("is_dup", F.lit(False))
+    scored = scored.withColumn(
+        "status", F.when(F.col("decode_ok"), "success").otherwise("error")
+    ).withColumn("processed_at", F.lit(run_ts))
+    scored = with_policy(with_dimensions(scored, include_evidence=False))
+    return scored.select(*STREAM_RESULT_COLUMNS)
+
+
+def dedup_stream(clips: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup: keep the first clip per transcript hash.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by event
+    time — rows whose ``ingest_ts`` is older than the watermark are
+    evicted from state, so memory is O(clips per watermark window), not
+    O(corpus). The batch equivalent is the exact-group collapse in
+    operators/dedup.py.
+    """
+    hashed = clips.withColumn("t_hash", F.xxhash64("transcript"))
+    return hashed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["t_hash"]
+    )
+
+
+def windowed_quality_trend(
+    scored: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """A3's daily-trend aggregation as a watermarked tumbling window.
+
+    Append-mode safe: a window closes (and emits exactly once) when the
+    watermark passes its end — late clips within the allowed lateness
+    still count; later ones are dropped, bounding state.
+    """
+    return (
+        scored.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.round(F.avg("overall_quality_score"), 4).alias("avg_quality"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_clips", "n_keep", "avg_quality",
+        )
+    )
+
+
+_LANG_STATE_SCHEMA = "n_clips long, n_keep long"
+_LANG_OUT_SCHEMA = "lang string, n_clips long, n_keep long"
+
+
+def _lang_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_clips, n_keep = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n_clips += len(pdf)
+        n_keep += int(pdf["keep"].sum())
+    state.update((n_clips, n_keep))
+    yield pd.DataFrame({"lang": [key[0]], "n_clips": [n_clips], "n_keep": [n_keep]})
+
+
+def lang_running_totals(scored: DataFrame) -> DataFrame:
+    """Custom keyed-state operator: running clip/keep totals per language.
+
+    ``applyInPandasWithState`` is the escape hatch for stateful semantics
+    Spark's built-ins lack (reference analog: the approvals counter state,
+    routes.py:620-627, which mutates across requests). Each trigger
+    re-emits the updated totals for the languages it saw.
+    """
+    return scored.groupBy("lang").applyInPandasWithState(
+        _lang_totals_fn,
+        outputStructType=_LANG_OUT_SCHEMA,
+        stateStructType=_LANG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_scoring_query(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    run_ts: dt.datetime,
+) -> None:
+    """One availableNow pass: score every not-yet-processed input file into
+    the parquet results sink, then stop. Re-invocation with the same
+    checkpoint dir resumes — already-committed files are skipped (file
+    source offsets live in the checkpoint), giving exactly-once results.
+    """
+    stream = read_clip_stream(spark, input_dir)
+    q = (
+        score_clips(stream, run_ts)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -21,6 +21,9 @@ SUBSET = [
     "emb_ivf_topk",
     "events_latest_per_user",
     "tpch_q1_pricing_summary",
+    "orders_status_rollup",
+    "events_asof_last_click",
+    "events_flexible_date_parse",
 ]
 
 

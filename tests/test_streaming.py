@@ -1,0 +1,186 @@
+"""Structured Streaming operators: batch/stream parity, checkpoint resume,
+watermarked windows, streaming dedup, custom keyed state."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+import pytest
+
+from dataquality_spark.datagen.clips import DEFAULT_RUN_TS, clips_df
+from dataquality_spark.streaming import (
+    dedup_stream,
+    lang_running_totals,
+    read_clip_stream,
+    run_scoring_query,
+    score_clips,
+    windowed_quality_trend,
+)
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, tmp_path_factory):
+    """Input dir with two parquet file-drops (simulating arrival order)."""
+    root = tmp_path_factory.mktemp("stream")
+    inp = str(root / "in")
+    clips = clips_df(spark, N).cache()
+    clips.where("clip_id < 'clip_000000000200'").coalesce(1).write.parquet(
+        inp, mode="append"
+    )
+    first_files = set(os.listdir(inp))
+    clips.where("clip_id >= 'clip_000000000200'").coalesce(1).write.parquet(
+        inp, mode="append"
+    )
+    clips.unpersist()
+    return {"input": inp, "root": root, "first_files": first_files}
+
+
+def test_stream_batch_parity_and_resume(spark, stream_dirs):
+    """availableNow over the file source produces bit-identical rows to the
+    batch path, and a second run with the same checkpoint is a no-op."""
+    out = str(stream_dirs["root"] / "out")
+    ckpt = str(stream_dirs["root"] / "ckpt")
+    run_scoring_query(spark, stream_dirs["input"], out, ckpt, DEFAULT_RUN_TS)
+
+    got = (
+        spark.read.parquet(out)
+        .select("clip_id", "lang", "ppl", "overall_quality_score",
+                "recommended_action", "keep", "scrubbed_transcript")
+        .toPandas()
+        .sort_values("clip_id", ignore_index=True)
+    )
+    want = (
+        score_clips(clips_df(spark, N), DEFAULT_RUN_TS)
+        .select("clip_id", "lang", "ppl", "overall_quality_score",
+                "recommended_action", "keep", "scrubbed_transcript")
+        .toPandas()
+        .sort_values("clip_id", ignore_index=True)
+    )
+    assert len(got) == N
+    pd.testing.assert_frame_equal(got, want)
+
+    # resume: same checkpoint, no new input → no new rows
+    run_scoring_query(spark, stream_dirs["input"], out, ckpt, DEFAULT_RUN_TS)
+    assert spark.read.parquet(out).count() == N
+
+
+def test_stream_incremental_only_new_files(spark, stream_dirs, tmp_path):
+    """Checkpointed re-run processes only files that landed after the first
+    pass (file-source offsets in the checkpoint)."""
+    inp2 = str(tmp_path / "in2")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    clips = clips_df(spark, 120).cache()
+    clips.where("clip_id < 'clip_000000000060'").coalesce(1).write.parquet(
+        inp2, mode="append"
+    )
+    run_scoring_query(spark, inp2, out, ckpt, DEFAULT_RUN_TS)
+    assert spark.read.parquet(out).count() == 60
+
+    clips.where("clip_id >= 'clip_000000000060'").coalesce(1).write.parquet(
+        inp2, mode="append"
+    )
+    clips.unpersist()
+    run_scoring_query(spark, inp2, out, ckpt, DEFAULT_RUN_TS)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 120
+    assert got["clip_id"].is_unique  # each clip scored exactly once
+
+
+def test_windowed_trend_append_mode(spark, tmp_path):
+    """Watermarked tumbling windows emit closed windows exactly once in
+    append mode; counts match a batch groupBy over the same input."""
+    inp = str(tmp_path / "in")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        ("c%03d" % i, None, 16000, 1000, "pcm_s16le", "hello world test",
+         base + dt.timedelta(minutes=17 * i))
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string, ingest_ts timestamp"
+    ).coalesce(1).write.parquet(inp)
+
+    stream = read_clip_stream(spark, inp)
+    trend = windowed_quality_trend(
+        score_clips(stream, DEFAULT_RUN_TS), window="1 hour", watermark="30 minutes"
+    )
+    q = (
+        trend.writeStream.format("memory").queryName("trend")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from trend order by window_start").toPandas()
+    # max ingest_ts = base + 663 min; watermark 30 min → windows ending
+    # <= base+633min are closed: hours 0..9 inclusive (window 10 ends at 660).
+    assert len(got) == 10
+    # batch cross-check on the closed windows
+    assert got["n_clips"].sum() == sum(1 for i in range(40) if 17 * i < 600)
+    hours = ((got["window_end"] - got["window_start"]).dt.total_seconds() == 3600).all()
+    assert hours
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per transcript hash."""
+    inp = str(tmp_path / "in")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(30):
+        text = "duplicate payload" if i % 3 == 0 else f"unique text {i}"
+        rows.append(("c%03d" % i, None, 16000, 1000, "pcm_s16le", text,
+                     base + dt.timedelta(seconds=i)))
+    spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string, ingest_ts timestamp"
+    ).coalesce(1).write.parquet(inp)
+
+    deduped = dedup_stream(read_clip_stream(spark, inp), watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select transcript from dedup").toPandas()
+    # 10 copies of the duplicate collapse to 1; 20 uniques survive
+    assert len(got) == 21
+    assert (got["transcript"] == "duplicate payload").sum() == 1
+
+
+def test_lang_running_totals_state(spark, tmp_path):
+    """applyInPandasWithState accumulates totals across micro-batches."""
+    inp = str(tmp_path / "in")
+    clips = clips_df(spark, 200).cache()
+    clips.where("clip_id < 'clip_000000000100'").coalesce(1).write.parquet(
+        inp, mode="append"
+    )
+    clips.where("clip_id >= 'clip_000000000100'").coalesce(1).write.parquet(
+        inp, mode="append"
+    )
+
+    # one file per trigger → the second batch must see the first's state
+    stream = read_clip_stream(spark, inp, max_files_per_trigger=1)
+    totals = lang_running_totals(score_clips(stream, DEFAULT_RUN_TS))
+    q = (
+        totals.writeStream.format("memory").queryName("langtot")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # last emitted row per lang = final running total
+    got = spark.sql(
+        "select lang, max(n_clips) as n_clips, max(n_keep) as n_keep "
+        "from langtot group by lang"
+    ).toPandas().set_index("lang")
+
+    want = (
+        score_clips(spark.read.parquet(inp), DEFAULT_RUN_TS)
+        .groupBy("lang").count().toPandas().set_index("lang")
+    )
+    clips.unpersist()
+    assert got["n_clips"].sum() == 200
+    for lang, row in want.iterrows():
+        assert got.loc[lang, "n_clips"] == row["count"]
