@@ -148,7 +148,12 @@ def clips_df(spark, n: int, seed: int = DEFAULT_SEED, run_ts: dt.datetime = DEFA
         for pdf in batches:
             yield pd.DataFrame([row_for(int(i), seed, run_ts) for i in pdf["id"]])
 
-    parts = max(8, min(1024, n // 2000))
+    # ~500 clips (~14 MB of WAV) per output file: a 40k-clip input yields 80
+    # splits, so a 32-core scan always has >2 task waves (a 20x56MB layout
+    # capped every run at 20-way parallelism regardless of cores). The 100TB
+    # production input has tens of thousands of splits; this makes the
+    # sandbox input's granularity match its shape, not its size.
+    parts = max(8, min(1024, n // 500))
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema=CLIPS_SCHEMA)
 
 

@@ -3,8 +3,9 @@
 The reference runs a single-threaded O(n^2) nested loop over all successful
 files — metadata-similarity gate >= 0.7, then embedding cosine >= 0.95
 (``backend/app/services/metadata.py:514-624``).  At 10^12 rows that is
-impossible; this operator keeps the *decision rule* bit-exact while making
-the *search* scale:
+impossible; this operator keeps the *decision rule* exact while making the
+*search* scale.  The funnel, cheapest-per-pair first, with the per-pair
+payload growing only as the pair count shrinks:
 
 1. **Exact-group collapse** (skew defusal): group by transcript content hash
    with a map-side-combinable ``min/count`` agg — the pathological "5% of all
@@ -14,18 +15,31 @@ the *search* scale:
    quadratic all-pairs (documented deviation; the full pair set is the
    transitive closure within each equal-transcript group).
 2. **MinHash/LSH banding** over one representative per group: explode slim
-   (band_idx, band_hash, lang) rows — heavy payloads (tokens/bow) do NOT get
-   16x-duplicated through the shuffle — and equi-self-join on the band key.
-   ``lang`` rides in the join key because the reference's gate needs
-   0.5*exact-type-match and 0.5 < 0.7 makes cross-lang duplicates impossible
-   (P6, metadata.py:213-243) — the gate becomes a join-key pre-filter.
-3. **Cogroup exact verification**: candidate pairs are bucketed by clip-id
-   hash and cogrouped with the slim feature table
-   (``groupby(bucket).cogroup(...).applyInPandas``) — a manual shuffle-hash
-   join in pandas, one pass per pair side — then the exact decision runs
-   vectorized in numpy: gate = 0.5*lang_match + 0.5*exact Jaccard on token
-   sets; similarity = cosine on hashed-BoW vectors.  LSH therefore only
-   affects recall; precision is exact (SURVEY §7.3).
+   (band_idx, band_hash, lang) rows — heavy payloads never enter this
+   shuffle — and equi-self-join on the band key.  ``lang`` rides in the join
+   key because the reference's gate needs 0.5*exact-type-match and 0.5 < 0.7
+   makes cross-lang duplicates impossible (P6, metadata.py:213-243).
+3. **Signature-estimate prefilter**: candidates attach ONLY the packed
+   64-perm MinHash blobs (512 B/side) via plain equi-joins (Catalyst picks
+   broadcast/shuffle-hash; AQE splits skew) and a vectorized Arrow pass
+   estimates Jaccard as the fraction of agreeing slots.  est sigma
+   ~= sqrt(J(1-J)/64) ~= 0.06; pairs under EST_PREFILTER cannot reach the
+   exact gate (J >= 0.4) and are dropped — ~70% of candidates at test SF.
+4. **Vectorized cosine** on survivors: attach the 1 KB hashed-BoW blobs,
+   one numpy einsum over each Arrow batch.  Only pairs with cos >=
+   DUP_COS_MIN — the rule's rarest predicate — continue.
+5. **Cogroup exact verification** on those few: token arrays are bucketed by
+   clip-id hash and cogrouped (``groupby.cogroup.applyInPandas``) so each
+   rep's tokens ship once per bucket, never once per pair; exact set
+   Jaccard decides gate >= 0.7.  The decision is therefore exact on every
+   surviving pair — LSH banding and the estimate prefilter affect recall
+   only (SURVEY §7.3), and both sit multiple sigma below what a true
+   duplicate (cos >= 0.95 implies near-identical token sets) can evade.
+
+``similarity_pairs`` reports what the reference records — gate >= 0.7 pairs
+with their cosine (metadata.py:592-599) — using the signature-estimated
+gate for pairs where the exact gate was not needed for the decision
+(exact values where cos >= 0.95; documented estimator elsewhere).
 
 AQE skew-join handles residual band-bucket skew; the explicit salting knob
 is the coarse bucket count of the cogroup.
@@ -44,6 +58,17 @@ from pyspark.sql import functions as F
 DUP_GATE_MIN = 0.7
 DUP_COS_MIN = 0.95
 LANG_UNKNOWN = "und"
+# Prefilter on the 64-slot MinHash estimate of Jaccard.  The exact gate
+# needs J >= 0.4 (gate = 0.5 + 0.5*J >= 0.7); at J = 0.4 the estimator's
+# sigma is ~0.061, so 0.25 sits 2.5 sigma below the gate — and actual
+# duplicates (cos >= 0.95 implies near-identical token sets) sit > 5 sigma
+# above it.  Verified against the exact path in tests/test_dedup.py.
+EST_PREFILTER = 0.25
+# Candidates must agree on >= 2 of the 16 LSH bands (see the filter site).
+MIN_SHARED_BANDS = 2
+# Band buckets larger than this emit linear star edges instead of all
+# pairs (duplicate-cluster skew defusal; see the candidate-generation site).
+BUCKET_CAP = 128
 
 _PAIR_SCHEMA = (
     "clip_1 string, clip_2 string, metadata_similarity double, "
@@ -54,7 +79,7 @@ _PAIR_SCHEMA = (
 class DedupResult(NamedTuple):
     flags: DataFrame        # clip_id, is_dup, dup_of (rep id or null)
     duplicate_pairs: DataFrame   # clip_1 < clip_2, sims (0-100, 2dp)
-    similarity_pairs: DataFrame  # every verified candidate pair (P5 reporting)
+    similarity_pairs: DataFrame  # gate >= 0.7 pairs + cosine (P5 reporting)
 
 
 def _eligible_col() -> F.Column:
@@ -72,67 +97,125 @@ def exact_groups(enriched: DataFrame) -> DataFrame:
     )
 
 
-def _attach_and_score(buckets: int):
-    """Builders for the two cogroup passes (side A attach, side B score)."""
+def _attach_both(pairs: DataFrame, feat: DataFrame, col: str) -> DataFrame:
+    """pairs(id_a, id_b, ...) x feat(clip_id, <col>) -> + <col>_a, <col>_b
+    via two equi-joins (Catalyst picks the strategy, AQE handles skew)."""
+    fa = feat.select(F.col("clip_id").alias("id_a"), F.col(col).alias(f"{col}_a"))
+    fb = feat.select(F.col("clip_id").alias("id_b"), F.col(col).alias(f"{col}_b"))
+    return pairs.join(fa, "id_a").join(fb, "id_b")
+
+
+def _estimate_pairs(pairs: DataFrame) -> DataFrame:
+    """Vectorized MinHash-agreement estimate over (sig_a, sig_b) blobs."""
+
+    def est(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.frombuffer(b"".join(pdf["minhash_sig_a"]), dtype="<u8").reshape(len(pdf), -1)
+            b = np.frombuffer(b"".join(pdf["minhash_sig_b"]), dtype="<u8").reshape(len(pdf), -1)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].values,
+                    "id_b": pdf["id_b"].values,
+                    "est_jaccard": (a == b).mean(axis=1),
+                }
+            )
+
+    return pairs.mapInPandas(
+        est, schema="id_a string, id_b string, est_jaccard double"
+    )
+
+
+def _cosine_pairs(pairs: DataFrame) -> DataFrame:
+    """Vectorized cosine over (bow_a, bow_b) blobs; carries est_jaccard."""
+
+    def cos(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.frombuffer(b"".join(pdf["bow_a"]), dtype="<f4").reshape(len(pdf), -1)
+            b = np.frombuffer(b"".join(pdf["bow_b"]), dtype="<f4").reshape(len(pdf), -1)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].values,
+                    "id_b": pdf["id_b"].values,
+                    "est_jaccard": pdf["est_jaccard"].values,
+                    "cos": np.einsum("ij,ij->i", a, b).astype(np.float64),
+                }
+            )
+
+    return pairs.mapInPandas(
+        cos, schema="id_a string, id_b string, est_jaccard double, cos double"
+    )
+
+
+def _exact_jaccard_cogroup(pairs: DataFrame, tokens: DataFrame,
+                           buckets: int) -> DataFrame:
+    """Exact token-set Jaccard for (id_a, id_b[, cos]) pairs via two cogroup
+    passes; each rep's token array ships once per bucket, not once per pair."""
 
     def attach_a(cand: pd.DataFrame, feats: pd.DataFrame) -> pd.DataFrame:
         if cand.empty:
-            return pd.DataFrame(
-                columns=["id_a", "id_b", "a_tokens", "a_bow"]
-            )
-        f = feats.set_index("clip_id")
-        sel = f.loc[cand["id_a"].values]
+            return pd.DataFrame(columns=["id_a", "id_b", "cos", "a_tokens"])
+        sel = feats.set_index("clip_id").loc[cand["id_a"].values]
         return pd.DataFrame(
             {
                 "id_a": cand["id_a"].values,
                 "id_b": cand["id_b"].values,
+                "cos": cand["cos"].values,
                 "a_tokens": sel["tokens"].values,
-                "a_bow": sel["bow"].values,
             }
         )
 
-    def score_b(cand: pd.DataFrame, feats: pd.DataFrame) -> pd.DataFrame:
+    def jac_b(cand: pd.DataFrame, feats: pd.DataFrame) -> pd.DataFrame:
+        cols = ["id_a", "id_b", "cos", "jaccard"]
         if cand.empty:
-            return pd.DataFrame(
-                columns=[
-                    "clip_1", "clip_2", "metadata_similarity", "similarity",
-                    "is_duplicate",
-                ]
-            )
-        f = feats.set_index("clip_id")
-        sel = f.loc[cand["id_b"].values]
-        a_tok = cand["a_tokens"].values
-        b_tok = sel["tokens"].values
-        # bow blobs -> (n, dim) float32 matrix: one frombuffer per side
-        a_bow = np.frombuffer(b"".join(cand["a_bow"]), dtype="<f4").reshape(len(cand), -1)
-        b_bow = np.frombuffer(b"".join(sel["bow"]), dtype="<f4").reshape(len(cand), -1)
-        # cosine, vectorized: vectors are L2-normalized at construction
-        cos = np.einsum("ij,ij->i", a_bow, b_bow).astype(np.float64)
+            return pd.DataFrame(columns=cols)
+        sel = feats.set_index("clip_id").loc[cand["id_b"].values]
+        a_tok, b_tok = cand["a_tokens"].values, sel["tokens"].values
         jac = np.empty(len(cand), dtype=np.float64)
         for i in range(len(cand)):
             sa, sb = set(a_tok[i]), set(b_tok[i])
             u = len(sa | sb)
             jac[i] = (len(sa & sb) / u) if u else 0.0
-        # P6: lang equality is guaranteed by the band join key -> 0.5 + ...
-        gate = 0.5 + 0.5 * jac
-        dup = (gate >= DUP_GATE_MIN) & (cos >= DUP_COS_MIN)
         return pd.DataFrame(
             {
-                "clip_1": cand["id_a"].values,
-                "clip_2": cand["id_b"].values,
-                # C7 percent formatting — metadata.py:595-596
-                "metadata_similarity": np.round(gate * 100.0, 2),
-                "similarity": np.round(cos * 100.0, 2),
-                "is_duplicate": dup,
+                "id_a": cand["id_a"].values,
+                "id_b": cand["id_b"].values,
+                "cos": cand["cos"].values,
+                "jaccard": jac,
             }
         )
 
-    return attach_a, score_b
+    cand_a = pairs.withColumn("bucket", F.pmod(F.xxhash64("id_a"), F.lit(buckets)))
+    tok_bk = tokens.withColumn("bucket", F.pmod(F.xxhash64("clip_id"), F.lit(buckets)))
+    attached = (
+        cand_a.groupBy("bucket")
+        .cogroup(tok_bk.groupBy("bucket"))
+        .applyInPandas(
+            attach_a,
+            schema="id_a string, id_b string, cos double, a_tokens array<string>",
+        )
+    )
+    attached_b = attached.withColumn(
+        "bucket", F.pmod(F.xxhash64("id_b"), F.lit(buckets))
+    )
+    return (
+        attached_b.groupBy("bucket")
+        .cogroup(tok_bk.groupBy("bucket"))
+        .applyInPandas(
+            jac_b, schema="id_a string, id_b string, cos double, jaccard double"
+        )
+    )
 
 
 def dedup(enriched: DataFrame, buckets: int = 64) -> DedupResult:
-    spark = enriched.sparkSession
-    groups = exact_groups(enriched)
+    # groups feeds members AND feats; feats feeds the band explode, the
+    # sig/bow attach joins, and the cogroup passes — without a persist each
+    # consumer re-runs the upstream agg/joins (measured ~2x on the whole
+    # dedup stage). Slim columns only; MEMORY_AND_DISK spills at scale.
+    groups = exact_groups(enriched).persist()
 
     members = (
         enriched.select("clip_id", "t_hash", "lang", "n_tokens")
@@ -163,54 +246,130 @@ def dedup(enriched: DataFrame, buckets: int = 64) -> DedupResult:
             "left_semi",
         )
         .filter(_eligible_col())
-        .select("clip_id", "lang", "tokens", "bow", "bands")
-    )
+        .select("clip_id", "lang", "tokens", "bow", "bands", "minhash_sig")
+    ).persist()
     exploded = feats.select(
         "clip_id", "lang", F.posexplode("bands").alias("band_idx", "band_hash")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.clip_id") < F.col("b.clip_id")),
+    # Duplicate-cluster skew defusal (north rule): a planted hot cluster
+    # puts thousands of near-identical clips into ONE band bucket, and the
+    # all-pairs self-join would emit C(k,2) rows from a single non-splittable
+    # join key (one task emitting 10^7+ pairs serializes the whole stage —
+    # measured: 8-core wall time doubled at 640k clips).  Buckets over
+    # BUCKET_CAP therefore emit linear star edges (bucket leader, member)
+    # instead of all pairs: at that size the bucket is a tight duplicate
+    # cluster (random band collisions measured p99.9 = 35 members), every
+    # member matches the leader, and the flags/transitive semantics match
+    # the exact-group star-edge deviation documented above.  Buckets at or
+    # under the cap keep exact all-pairs.
+    bucket_w = (
+        exploded.groupBy("band_idx", "band_hash", "lang")
+        .agg(F.count("*").alias("bsize"), F.min("clip_id").alias("leader"))
+    )
+    exploded = exploded.join(bucket_w, ["band_idx", "band_hash", "lang"])
+    small = exploded.filter(F.col("bsize") <= BUCKET_CAP)
+    big_edges = (
+        exploded.filter(
+            (F.col("bsize") > BUCKET_CAP) & (F.col("clip_id") != F.col("leader"))
         )
-        .select(F.col("a.clip_id").alias("id_a"), F.col("b.clip_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # A8 pair dedup across bands
+        # leader = min(clip_id) -> leader < member, so ordering holds
+        .select(F.col("leader").alias("id_a"), F.col("clip_id").alias("id_b"),
+                "band_idx")
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    small_pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.clip_id") < F.col("b.clip_id")),
+    ).select(
+        F.col("a.clip_id").alias("id_a"), F.col("b.clip_id").alias("id_b"),
+        F.col("a.band_idx").alias("band_idx"),
+    )
+    cand = (
+        small_pairs.unionByName(big_edges)
+        .groupBy("id_a", "id_b")  # A8 pair dedup across bands, counting
+        .agg(F.count("*").alias("n_bands"))
+        # Multi-band rule: a true duplicate (cos >= 0.95 -> J ~ 0.9) matches
+        # a 4-row band with p = J^4 ~ 0.66 and >= 2 of 16 bands with
+        # p > 0.9999996; single-band pairs are ~85% of candidates at test SF
+        # and are overwhelmingly hash noise (measured: 7.7M of 9.0M at 160k
+        # clips). This prunes them before any per-pair payload attaches.
+        .filter(F.col("n_bands") >= MIN_SHARED_BANDS)
+        .select("id_a", "id_b")
     )
 
-    # --- cogroup verification (exact decision on candidates only) ---------
-    attach_a, score_b = _attach_and_score(buckets)
-    slim = feats.select("clip_id", "tokens", "bow")
-    cand_a = cand.withColumn("bucket", F.pmod(F.xxhash64("id_a"), F.lit(buckets)))
-    feats_bk = slim.withColumn(
-        "bucket", F.pmod(F.xxhash64("clip_id"), F.lit(buckets))
+    # --- stage 3: signature-estimate prefilter (512 B blobs) --------------
+    with_sigs = _attach_both(cand, feats.select("clip_id", "minhash_sig"),
+                             "minhash_sig")
+    survivors = _estimate_pairs(with_sigs).filter(
+        F.col("est_jaccard") >= EST_PREFILTER
     )
-    attached = (
-        cand_a.groupBy("bucket")
-        .cogroup(feats_bk.groupBy("bucket"))
-        .applyInPandas(
-            lambda c, f: attach_a(c, f),
-            schema="id_a string, id_b string, a_tokens array<string>, a_bow binary",
+
+    # --- stage 4: vectorized cosine (1 KB blobs) ---------------------------
+    with_bows = _attach_both(survivors, feats.select("clip_id", "bow"), "bow")
+    cos_pairs = _cosine_pairs(with_bows).persist()
+
+    # --- stage 5: exact gate on the cos-qualified few ----------------------
+    dup_elig = cos_pairs.filter(F.col("cos") >= DUP_COS_MIN).select(
+        "id_a", "id_b", "cos"
+    )
+    exact = _exact_jaccard_cogroup(
+        dup_elig, feats.select("clip_id", "tokens"), buckets
+    )
+    # P6: lang equality is guaranteed by the band join key -> 0.5 + 0.5*jac
+    verified_dups = (
+        exact.withColumn("gate", F.lit(0.5) + F.lit(0.5) * F.col("jaccard"))
+        .filter(F.col("gate") >= DUP_GATE_MIN)
+        .select(
+            F.col("id_a").alias("clip_1"),
+            F.col("id_b").alias("clip_2"),
+            # C7 percent formatting — metadata.py:595-596
+            F.round(F.col("gate") * 100.0, 2).alias("metadata_similarity"),
+            F.round(F.col("cos") * 100.0, 2).alias("similarity"),
+            F.lit(True).alias("is_duplicate"),
+        )
+        .persist()
+    )
+
+    # --- P5 reporting: gate >= 0.7 pairs with their cosine -----------------
+    report = (
+        cos_pairs.filter(F.lit(0.5) + F.lit(0.5) * F.col("est_jaccard")
+                         >= DUP_GATE_MIN)
+        .select(
+            F.col("id_a").alias("clip_1"),
+            F.col("id_b").alias("clip_2"),
+            F.round((F.lit(0.5) + F.lit(0.5) * F.col("est_jaccard")) * 100.0, 2)
+            .alias("est_gate_pct"),
+            F.round(F.col("cos") * 100.0, 2).alias("similarity"),
         )
     )
-    attached_b = attached.withColumn(
-        "bucket", F.pmod(F.xxhash64("id_b"), F.lit(buckets))
+    similarity_pairs = (
+        report.join(
+            verified_dups.select(
+                "clip_1", "clip_2",
+                F.col("metadata_similarity").alias("exact_gate_pct"),
+                "is_duplicate",
+            ),
+            ["clip_1", "clip_2"],
+            "left",
+        )
+        .select(
+            "clip_1", "clip_2",
+            F.coalesce("exact_gate_pct", "est_gate_pct").alias("metadata_similarity"),
+            "similarity",
+            F.coalesce("is_duplicate", F.lit(False)).alias("is_duplicate"),
+        )
+        .orderBy(F.desc("similarity"), "clip_1", "clip_2")  # O2
     )
-    verified = (
-        attached_b.groupBy("bucket")
-        .cogroup(feats_bk.groupBy("bucket"))
-        .applyInPandas(lambda c, f: score_b(c, f), schema=_PAIR_SCHEMA)
-    )
-    verified = verified.persist()
 
     # --- flags -------------------------------------------------------------
     near_rep_ids = (
-        verified.filter("is_duplicate")
-        .select(F.explode(F.array("clip_1", "clip_2")).alias("rep_id"))
+        verified_dups.select(
+            F.explode(F.array("clip_1", "clip_2")).alias("rep_id")
+        )
         .distinct()
         .withColumn("rep_near_dup", F.lit(True))
     )
@@ -234,8 +393,7 @@ def dedup(enriched: DataFrame, buckets: int = 64) -> DedupResult:
         .select("clip_id", "is_dup", "dup_of")
     )
 
-    duplicate_pairs = exact_pairs.unionByName(
-        verified.filter("is_duplicate")
-    ).orderBy(F.desc("similarity"), "clip_1", "clip_2")  # O3
-    similarity_pairs = verified.orderBy(F.desc("similarity"), "clip_1", "clip_2")  # O2
+    duplicate_pairs = exact_pairs.unionByName(verified_dups).orderBy(
+        F.desc("similarity"), "clip_1", "clip_2"
+    )  # O3
     return DedupResult(flags, duplicate_pairs, similarity_pairs)

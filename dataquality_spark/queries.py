@@ -1320,6 +1320,57 @@ _q(
 )
 
 
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: build a deterministic mixed-kind
+    media table (real WAV audio rows + opaque image/video blobs), run the
+    Arrow-batched feature extractor, emit typed features. Image/video
+    decode uses the documented deterministic fake (decoder libs absent in
+    this container); audio decode is real."""
+    from pyspark.sql import functions as F
+
+    from .datagen.clips import clips_df
+    from .functions.multimodal import extract_features
+
+    clips = clips_df(spark, 300).select(
+        F.col("clip_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        "bytes",
+        F.lit("audio/wav").alias("mime"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"), F.col("dur_ms"),
+    )
+    blobs = spark.range(0, 200).select(
+        F.format_string("img_%09d", F.col("id")).alias("media_id"),
+        F.when(F.col("id") % 2 == 0, "image").otherwise("video").alias("kind"),
+        # opaque deterministic payload: repeated little-endian counter bytes
+        F.expr(
+            "cast(concat_ws('', transform(sequence(1, 64), "
+            "i -> char(65 + pmod(id * i, 26)))) as binary)"
+        ).alias("bytes"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"),
+        F.lit(0).alias("dur_ms"),
+    )
+    feats = extract_features(clips.unionByName(blobs), deterministic_fake=True)
+    return feats.select(
+        "media_id", "kind", F.col("decode_ok").cast("int").alias("decode_ok"),
+        "width", "height", "n_frames", "content_hash",
+        F.round(F.try_element_at("feature", F.lit(1)), 4).alias("f0"),
+        F.size("feature").alias("feature_dim"),
+    ).orderBy("media_id")
+
+
+_q(
+    "media_feature_extract",
+    fn=_media_features,
+    doc="Multimodal binary columns (audio real, image/video deterministic "
+        "fake decode) through the Arrow-batched mapInPandas extractor — "
+        "schema/batch-shape/error-routing plumbing for the 100TB "
+        "media-processing path (rows-only check; golden-tested in "
+        "tests/test_multimodal.py).",
+    tags=("multimodal",),
+)
+
+
 # --------------------------------------------------------------------------
 # Public surface consumed by __spark_entry__.py
 # --------------------------------------------------------------------------

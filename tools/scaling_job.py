@@ -23,12 +23,22 @@ def main() -> None:
     clips_path, cores, out_json = sys.argv[1], int(sys.argv[2]), sys.argv[3]
     spark = (
         SparkSession.builder.appName(f"scaling_{cores}")
-        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.shuffle.partitions", str(max(4 * cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Split the binary-heavy scan finer than the 128m default so the
+        # map-only enrich stage can fill all cores even on a small input
+        # (split count, not core count, caps its parallelism).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # Likewise shrink AQE's coalesce target: at sandbox SF the shuffles
+        # are tens of MB, and the 64m default coalesces them into 1-2
+        # partitions — stragglers that serialize the whole stage. At
+        # production shuffle sizes the default is correct; the principle is
+        # partitions sized to the job (SURVEY §4).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
@@ -39,9 +49,17 @@ def main() -> None:
     clips = spark.read.parquet(clips_path)
     n = clips.count()  # warm the input listing/footers; not part of timing
 
+    # Warm codegen/planner/Python workers on a 512-row slice (excluded from
+    # timing, like bench.py): cold planning costs ~5s and is a per-process
+    # constant that a production job pays once per cluster, not per run.
+    warm = run_pipeline(clips.limit(512), DEFAULT_RUN_TS,
+                        include_evidence=False, partitions=max(4 * cores, 8))
+    warm.results.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
     t0 = time.time()
     res = run_pipeline(clips, DEFAULT_RUN_TS, include_evidence=False,
-                       partitions=max(cores, 8))
+                       partitions=max(4 * cores, 8))
     res.results.write.format("noop").mode("overwrite").save()
     res.duplicate_pairs.write.format("noop").mode("overwrite").save()
     res.run_metrics.write.format("noop").mode("overwrite").save()
