@@ -687,11 +687,73 @@ _q(
 )
 
 
+RHP_BITS = 64          # random-hyperplane bits per vector
+RHP_BANDS = 8          # 8 bands x 8 bits -> band match p = p_bit^8
+RHP_ROWS = RHP_BITS // RHP_BANDS
+EMB_DIM = 64
+
+
 def _sql_cosine_pairs(d: str) -> str:
-    cos = _cos(d, "a.embedding", "b.embedding")
+    """Random-hyperplane LSH (SimHash-for-cosine) pair generation + exact
+    verify — the scale-safe replacement for the former O(n^2) theta-join.
+
+    Hyperplane b's sign at coordinate j is a deterministic integer mix
+    (squaring breaks the linear-parity structure a plain linear-congruence
+    would have), so Spark and DuckDB derive bit-identical sketches.
+    Candidates = pairs agreeing on >= 1 of 8 8-bit bands; exact cosine
+    verifies. Recall-only approximation (P(candidate) ~= 99% at cos 0.95,
+    the near-dup operating point; low-cos pairs are intentionally
+    sampled-down), precision exact — same framing as the MinHash funnel.
+    """
+    mix = (
+        "(CAST(b*4099 + j*9973 + 12345 AS BIGINT) "
+        "* CAST(b*4099 + j*9973 + 12345 AS BIGINT))"
+    )
+    if d == "spark":
+        signed = (
+            f"CASE WHEN pmod({mix} % {MOD}, 2) = 0 "
+            f"THEN element_at(v, j+1) ELSE -element_at(v, j+1) END"
+        )
+        projs = (
+            f"transform(sequence(0, {RHP_BITS - 1}), b -> "
+            f"aggregate(transform(sequence(0, {EMB_DIM - 1}), j -> {signed}), "
+            f"0D, (s, x) -> s + x))"
+        )
+        bandv = (
+            f"aggregate(sequence(0, {RHP_ROWS - 1}), 0L, (acc, r) -> acc*2 + "
+            f"(CASE WHEN element_at(pr, band_idx*{RHP_ROWS}+r+1) >= 0 "
+            f"THEN 1 ELSE 0 END))"
+        )
+        vcast = "cast(embedding as array<double>)"
+    else:
+        signed = (
+            f"CASE WHEN (({mix} % {MOD}) % 2) = 0 "
+            f"THEN v[j+1] ELSE -v[j+1] END"
+        )
+        projs = (
+            f"list_transform(generate_series(0, {RHP_BITS - 1}), b -> "
+            f"list_sum(list_transform(generate_series(0, {EMB_DIM - 1}), "
+            f"j -> {signed})))"
+        )
+        bandv = (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"generate_series(0, {RHP_ROWS - 1})), (acc, r) -> acc*2 + "
+            f"(CASE WHEN pr[band_idx*{RHP_ROWS}+r+1] >= 0 THEN 1 ELSE 0 END))"
+        )
+        vcast = "embedding::DOUBLE[]"
+    cos = _cos(d, "x.v", "y.v")
     return f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WITH e AS (SELECT vec_id, {vcast} AS v FROM embeddings),
+p AS (SELECT vec_id, v, {projs} AS pr FROM e),
+idx AS (SELECT {_explode(d, f'sequence(0, {RHP_BANDS - 1})' if d == 'spark' else f'generate_series(0, {RHP_BANDS - 1})', 'band_idx')}),
+br AS (SELECT vec_id, band_idx, {bandv} AS band_val FROM p CROSS JOIN idx),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM br a JOIN br b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b, round({cos}, 6) AS cos_sim
+FROM cand c JOIN e x ON c.id_a = x.vec_id JOIN e y ON c.id_b = y.vec_id
 WHERE {cos} >= {COS_PAIR_MIN}
 ORDER BY id_a, id_b
 """
@@ -701,11 +763,13 @@ _q(
     "emb_cosine_pairs",
     spark_sql=_sql_cosine_pairs("spark"),
     oracle=_sql_cosine_pairs("duck"),
-    doc="Embedding-cosine near-dup pairs >= 0.35 (P5's cosine >= 0.95 "
-        "analog on the driver's uncorrelated vectors). Exact self-join at "
-        "test SF; the 100TB path is LSH/IVF bucketing (emb_ivf_topk) so "
-        "the quadratic form never runs at scale.",
-    tags=("ann",),
+    doc="Embedding-cosine near-dup pairs via random-hyperplane LSH bands "
+        "(8x8-bit sketch, deterministic integer hyperplanes identical in "
+        "both dialects) + exact cosine verify >= 0.35. No cartesian / "
+        "theta-join anywhere in the plan: candidate generation is a "
+        "banded equi-join, exactly like the MinHash text funnel. Recall-"
+        "only approximation; precision exact (P5 analog).",
+    tags=("ann", "dedup"),
 )
 
 
@@ -722,9 +786,8 @@ assign AS (
            row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_sv} DESC, s.seed_id) AS rn
     FROM embeddings v CROSS JOIN seeds s) t WHERE rn = 1),
 probe_lists AS (
-  SELECT seed_id FROM (
-    SELECT s.seed_id, row_number() OVER (ORDER BY {cos_ps} DESC, s.seed_id) AS rn
-    FROM seeds s CROSS JOIN p) t WHERE rn <= 4)
+  SELECT s.seed_id FROM seeds s CROSS JOIN p
+  ORDER BY {cos_ps} DESC, s.seed_id LIMIT 4)
 SELECT v.vec_id, round({cos_pv}, 6) AS cos_sim
 FROM embeddings v
 JOIN assign ON v.vec_id = assign.vec_id
@@ -741,9 +804,11 @@ _q(
     spark_sql=_sql_ivf_topk("spark"),
     oracle=_sql_ivf_topk("duck"),
     doc="IVF-style ANN: 16 coarse centroids (seed vectors), each vector "
-        "assigned to its nearest centroid (window argmin), probe searches "
-        "only the 4 nearest inverted lists — the scale path where "
-        "brute-force cosine is quadratic.",
+        "assigned to its nearest centroid (window argmin, partitioned by "
+        "vec_id), probe searches only the 4 nearest inverted lists — the "
+        "scale path where brute-force cosine is quadratic. The nprobe "
+        "selection is orderBy+limit on the 16-row seeds frame "
+        "(TakeOrderedAndProject), not a global window.",
     tags=("ann", "bench"),
 )
 
@@ -1212,6 +1277,250 @@ _q(
     doc="Relational set algebra (UNION / INTERSECT / EXCEPT) over customer "
         "vs supplier nation keys (§2.7 — free from Spark SQL).",
     tags=("setops",),
+)
+
+
+# A4 per-dimension averages: the 6 heuristically scored dimensions plus the
+# 11 default-50 dimensions of the 17-dimension rubric (metadata.py:153-158).
+_SCORED_DIMS = {
+    "completeness": "score_completeness", "consistency": "score_consistency",
+    "validity": "score_validity", "relevance": "score_relevance",
+    "fitness_for_use": "score_fitness", "value": "score_value",
+}
+_DEFAULT_DIMS = (
+    "accuracy", "timeliness", "uniqueness", "reliability", "accessibility",
+    "precision", "integrity", "conformity", "interpretability",
+    "traceability", "credibility",
+)
+
+
+def _sql_dimension_averages(d: str) -> str:
+    base = _sql_quality_policy(d)
+    base = base[: base.rfind("ORDER BY")]
+    pairs = [(name, col) for name, col in _SCORED_DIMS.items()]
+    pairs += [(name, str(DEFAULT_SCORE)) for name in _DEFAULT_DIMS]
+    pairs.sort()
+    if d == "spark":
+        stack_args = ", ".join(f"'{n}', {c}" for n, c in pairs)
+        unpivot = (
+            f"SELECT stack({len(pairs)}, {stack_args}) AS (dimension, score) "
+            f"FROM base"
+        )
+    else:
+        unpivot = " UNION ALL ".join(
+            f"SELECT '{n}' AS dimension, {c} AS score FROM base"
+            for n, c in pairs
+        )
+    return (
+        f"WITH base AS ({base}), s AS ({unpivot}) "
+        f"SELECT dimension, count(*) AS n_docs, "
+        f"CAST(round(avg(score), 0) AS INT) AS avg_score, "
+        f"round(avg(score), 4) AS avg_score_4dp "
+        f"FROM s GROUP BY dimension ORDER BY dimension"
+    )
+
+
+_q(
+    "doc_dimension_averages",
+    spark_sql=_sql_dimension_averages("spark"),
+    oracle=_sql_dimension_averages("duck"),
+    doc="A4 per-dimension averages across the corpus — unpivot the 17-"
+        "dimension rubric (stack() one-pass in Spark) then groupBy "
+        "dimension with the reference's rounded avg "
+        "(routes.py:507-510, :549-552).",
+    tags=("agg", "policy"),
+)
+
+
+def _sql_recent_results(d: str) -> str:
+    return f"""
+WITH latest AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_id, {_epoch_us(d, 'ts')} AS ts_us, event_type
+FROM latest WHERE rn = 1
+ORDER BY ts_us DESC, event_id DESC LIMIT 50
+"""
+
+
+_q(
+    "events_recent_results",
+    spark_sql=_sql_recent_results("spark"),
+    oracle=_sql_recent_results("duck"),
+    doc="S10 result-reconstruction scan shape: dedup by key (latest-wins "
+        "window), order by last-modified desc, limit 50 "
+        "(metadata.py:868-944, :895-897).",
+    tags=("window", "sort"),
+)
+
+
+def _sql_fallback_chain(d: str) -> str:
+    if d == "spark":
+        vcast = "cast(embedding as array<double>)"
+        summary = "transform(v, x -> x * 0.5D + 0.01D)"
+        bow = "transform(v, x -> round(x, 1))"
+    else:
+        vcast = "embedding::DOUBLE[]"
+        summary = "list_transform(v, x -> x * CAST(0.5 AS DOUBLE) + CAST(0.01 AS DOUBLE))"
+        bow = "list_transform(v, x -> round(x, 1))"
+    cos = _cos(d, "c.v", "p.pv")
+    return f"""
+WITH e AS (SELECT vec_id, {vcast} AS v FROM embeddings),
+legs AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 3 = 0 THEN v END AS full_vec,
+    CASE WHEN vec_id % 3 <= 1 THEN {summary} END AS summary_vec,
+    {bow} AS bow_vec
+  FROM e),
+p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+chosen AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 3 = 0 THEN 'full'
+         WHEN vec_id % 3 = 1 THEN 'summary' ELSE 'bow' END AS vec_source,
+    coalesce(full_vec, summary_vec, bow_vec) AS v
+  FROM legs)
+SELECT c.vec_id, c.vec_source, round({cos}, 6) AS cos_sim
+FROM chosen c CROSS JOIN p
+WHERE c.vec_id <> 0
+ORDER BY c.vec_id
+"""
+
+
+_q(
+    "emb_fallback_chain",
+    spark_sql=_sql_fallback_chain("spark"),
+    oracle=_sql_fallback_chain("duck"),
+    doc="J5 embedding fallback chain as once-per-row column precedence — "
+        "coalesce(full_vec, summary_vec, bow_vec) with every leg exercised "
+        "by vec_id residue, then fed to the cosine probe "
+        "(metadata.py:538-587; the reference recomputes BoW per PAIR, we "
+        "hoist it per ROW).",
+    tags=("ann",),
+)
+
+
+def _sql_approvals_promotion(d: str) -> str:
+    base = _sql_quality_policy(d)
+    base = base[: base.rfind("ORDER BY")]
+    intdiv = "div" if d == "spark" else "//"
+    return f"""
+WITH pol AS ({base}),
+appr AS (
+  SELECT event_id % 500 AS doc_id, (event_id {intdiv} 500) % 17 AS dim_idx,
+         ts, event_id,
+         CASE WHEN event_type IN ('click', 'view', 'purchase') THEN 'approved'
+              WHEN event_type = 'error' THEN 'rejected'
+              ELSE 'reanalyzed' END AS status
+  FROM events),
+latest AS (
+  SELECT doc_id, dim_idx, status FROM (
+    SELECT doc_id, dim_idx, status,
+           row_number() OVER (PARTITION BY doc_id, dim_idx ORDER BY ts DESC, event_id DESC) AS rn
+    FROM appr) t
+  WHERE rn = 1),
+cnt AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN status = 'approved' THEN 1 ELSE 0 END) AS BIGINT) AS approvals,
+    CAST(sum(CASE WHEN status = 'rejected' THEN 1 ELSE 0 END) AS BIGINT) AS rejections
+  FROM latest GROUP BY doc_id)
+SELECT p.doc_id,
+  coalesce(c.approvals, 0) AS approvals,
+  coalesce(c.rejections, 0) AS rejections,
+  p.recommended_action AS base_action,
+  CASE WHEN coalesce(c.approvals, 0) >= 7 THEN 'APPROVED'
+       WHEN coalesce(c.rejections, 0) > 0 THEN 'REVIEW'
+       ELSE p.recommended_action END AS final_action
+FROM pol p LEFT JOIN cnt c ON p.doc_id = c.doc_id
+ORDER BY p.doc_id
+"""
+
+
+_q(
+    "doc_approvals_promotion",
+    spark_sql=_sql_approvals_promotion("spark"),
+    oracle=_sql_approvals_promotion("duck"),
+    doc="P7 batch approvals workflow: approval events (derived "
+        "deterministically from the events table) -> latest-wins state per "
+        "(doc, dimension) -> approvals count -> promotion join: >= 7 "
+        "approved dims -> APPROVED, any rejection below 7 -> REVIEW, else "
+        "the base policy action (routes.py:626-638, :698-709, composed "
+        "with the :63-81 latest-wins snapshot).",
+    tags=("policy", "window", "agg"),
+)
+
+
+def _sql_char_bigram_ppl(d: str) -> str:
+    if d == "spark":
+        bigrams = "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))"
+    else:
+        bigrams = (
+            "list_transform(generate_series(1, (length(s) - 1)::BIGINT), "
+            "i -> substring(s, i, 2))"
+        )
+    return f"""
+WITH t AS (SELECT doc_id, lower(text) AS s FROM documents WHERE length(text) >= 2),
+bg AS (SELECT doc_id, {_explode(d, bigrams, 'b')} FROM t),
+cnt AS (SELECT b AS bigram, count(*) AS c FROM bg GROUP BY b),
+ctx AS (SELECT substring(bigram, 1, 1) AS p, CAST(sum(c) AS BIGINT) AS cc
+        FROM cnt GROUP BY substring(bigram, 1, 1)),
+vv AS (SELECT count(DISTINCT substring(bigram, 2, 1)) AS v FROM cnt),
+scored AS (
+  SELECT bg.doc_id,
+         ln({_div('cnt.c + 1', 'ctx.cc + vv.v')}) AS logp
+  FROM bg
+  JOIN cnt ON bg.b = cnt.bigram
+  JOIN ctx ON substring(bg.b, 1, 1) = ctx.p
+  CROSS JOIN vv)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(exp(-avg(logp)), 3) AS ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_char_bigram_ppl",
+    spark_sql=_sql_char_bigram_ppl("spark"),
+    oracle=_sql_char_bigram_ppl("duck"),
+    doc="Char-bigram language-model perplexity with add-one smoothing, "
+        "trained on the corpus itself in the same query — the SQL-"
+        "expressible twin of the interpolated-backoff char LM in "
+        "functions/perplexity.py (which runs in the clips pipeline). "
+        "Counts are two groupBys; per-doc ppl = exp(-avg log p).",
+    tags=("text", "agg"),
+)
+
+
+def _sql_sessionization(d: str) -> str:
+    w = "PARTITION BY user_id ORDER BY ts_us, event_id"
+    return f"""
+WITH o AS (SELECT user_id, event_id, {_epoch_us(d, 'ts')} AS ts_us FROM events),
+m AS (
+  SELECT user_id, event_id, ts_us,
+    CASE WHEN lag(ts_us) OVER ({w}) IS NULL
+          OR ts_us - lag(ts_us) OVER ({w}) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM o),
+s AS (
+  SELECT user_id, event_id, ts_us,
+    sum(is_new) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM m)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  count(*) AS n_events, min(ts_us) AS session_start_us,
+  max(ts_us) - min(ts_us) AS duration_us
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
+_q(
+    "events_sessionization",
+    spark_sql=_sql_sessionization("spark"),
+    oracle=_sql_sessionization("duck"),
+    doc="Session-window assignment in batch form (the session-gap analog "
+        "of Structured Streaming's session windows): 30-min-gap boundary "
+        "via lag(), session ids via a running sum, per-session "
+        "aggregates. One shuffle on user_id; sorts are per-partition.",
+    tags=("window", "agg", "streaming"),
 )
 
 
