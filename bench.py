@@ -65,12 +65,14 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- warmup: spin up executor threads, Python workers, codegen -------
+    from dataquality_spark.caching import release_all
+
     warm = run_pipeline(
         spark.read.parquet(CLIPS_CACHE).limit(512), DEFAULT_RUN_TS,
         include_evidence=False,
     )
     _force(warm.results)
-    spark.catalog.clearCache()
+    release_all()
 
     # --- flagship: clips quality-filter pipeline -------------------------
     clips = spark.read.parquet(CLIPS_CACHE)
@@ -82,7 +84,7 @@ def main() -> None:
     clip_sec = time.time() - t0
     timings["clips_pipeline"] = round(clip_sec, 3)
     clips_per_sec = round(N_CLIPS / clip_sec, 1)
-    res.results.sparkSession.catalog.clearCache()
+    release_all()
 
     # --- catalog headline queries ---------------------------------------
     for name, q in CATALOG.items():
@@ -91,6 +93,7 @@ def main() -> None:
         t0 = time.time()
         _force(q.run(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+    release_all()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -6,9 +6,16 @@ Stage layout at scale:
    stage → it is checkpointed per partition batch: clips are split by
    ``pmod(xxhash64(clip_id), n_batches)`` (the same salted hash the
    pipeline shuffles on, so batches are uniform even when input files
-   cluster duplicates), each batch's enriched output is appended to the
-   enriched table and committed to the manifest with metrics. A killed run
-   resumes by skipping committed batch ids — no recompute, no duplicates.
+   cluster duplicates). All still-uncommitted batches are enriched and
+   written in ONE pass — ``write.partitionBy("batch_id")`` with dynamic
+   partition overwrite — so the clips input (the dominant scan at 100 TB)
+   is read exactly once per run, not once per batch; per-batch metrics
+   come from a single ``groupBy(batch_id).agg(...)`` over the slim
+   just-written parquet (decode_ok + batch_id columns only), not from two
+   count() scans per batch.  Each batch is then committed to the manifest
+   individually, preserving per-batch resume granularity: a crash between
+   commits leaves written-but-uncommitted partition dirs that stay
+   invisible (manifest isolation) and are simply rewritten on resume.
 2. **dedup + policy** are global (near-dup pairs cross batch boundaries,
    like the reference's whole-run pairwise scan, metadata.py:514-624) and
    cheap relative to enrich: they run over the slim committed enriched
@@ -26,10 +33,10 @@ import os
 import time
 from typing import NamedTuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .io.tableio import Manifest, append_batch, read_table
+from .io.tableio import Manifest, read_table
 from .operators.dedup import DedupResult, dedup
 from .operators.enrich import enrich
 from .operators.scoring import with_dimensions, with_policy
@@ -41,6 +48,10 @@ class CheckpointedRun(NamedTuple):
     lineage: DataFrame          # per-batch metrics (snapshots analog)
     batches_run: list[int]      # batches actually computed this invocation
     batches_skipped: list[int]  # batches resumed from the manifest
+
+
+def _batch_col(n_batches: int) -> F.Column:
+    return F.pmod(F.xxhash64("clip_id"), F.lit(n_batches)).cast("int")
 
 
 def run_checkpointed(
@@ -59,31 +70,56 @@ def run_checkpointed(
     manifest = Manifest(enriched_dir)
 
     done = manifest.committed_batches()
-    batched = clips.withColumn(
-        "batch_id", F.pmod(F.xxhash64("clip_id"), F.lit(n_batches)).cast("int")
-    )
+    todo = [b for b in range(n_batches) if b not in done]
+    skipped = sorted(done)
+    ran: list[int] = []
 
-    ran, skipped = [], []
-    for b in range(n_batches):
-        if b in done:
-            skipped.append(b)
-            continue
+    if todo:
         t0 = time.time()
-        part = batched.filter(F.col("batch_id") == b).drop("batch_id")
-        enr = enrich(part, run_ts)
-        path = append_batch(enr, enriched_dir, b)
-        n_rows = spark.read.parquet(path).count()
-        n_err = spark.read.parquet(path).filter(~F.col("decode_ok")).count()
-        manifest.commit(
-            b, {"n_rows": n_rows, "n_error": n_err,
-                "wall_sec": round(time.time() - t0, 3)}
+        part = clips.withColumn("batch_id", _batch_col(n_batches))
+        if skipped:  # resume: only the uncommitted slices are (re)enriched
+            part = part.filter(F.col("batch_id").isin(todo))
+        # enrich consumes `bytes` map-side on the scan partitions (ONE scan
+        # of the input for ALL batches) and the batch id is re-derived from
+        # clip_id after the pass — enrich's output schema is fixed.
+        enr = enrich(part.drop("batch_id"), run_ts).withColumn(
+            "batch_id", _batch_col(n_batches)
         )
-        ran.append(b)
-        if fail_after_batches is not None and len(ran) >= fail_after_batches:
-            raise RuntimeError(f"simulated failure after {len(ran)} batches")
+        (
+            enr.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(enriched_dir)
+        )
+        # One slim read-back for ALL per-batch metrics (columnar: only
+        # batch_id + decode_ok are scanned), replacing 2 count() scans per
+        # batch of the previous design.
+        wall = round(time.time() - t0, 3)
+        stats = {
+            int(r["batch_id"]): (int(r["n_rows"]), int(r["n_error"]))
+            for r in spark.read.parquet(enriched_dir)
+            .filter(F.col("batch_id").isin(todo))
+            .groupBy("batch_id")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum((~F.col("decode_ok")).cast("long")).alias("n_error"),
+            )
+            .collect()
+        }
+        for b in todo:
+            n_rows, n_err = stats.get(b, (0, 0))
+            manifest.commit(
+                b, {"n_rows": n_rows, "n_error": n_err,
+                    "wall_sec": round(wall / len(todo), 3)}
+            )
+            ran.append(b)
+            if fail_after_batches is not None and len(ran) >= fail_after_batches:
+                raise RuntimeError(f"simulated failure after {len(ran)} batches")
 
     # Global stages over the committed enriched table (slim columns only).
-    enriched = read_table(spark, enriched_dir, manifest).drop("batch")
+    enriched = read_table(spark, enriched_dir, manifest).drop(
+        "batch", "batch_id"
+    )
     dd: DedupResult = dedup(enriched)
     scored = (
         enriched.join(dd.flags, "clip_id", "left")

@@ -8,7 +8,7 @@ sandbox implementation emulates the same semantics:
 
     production                     | sandbox
     -------------------------------+----------------------------------------
-    df.writeTo(tbl).append()       | df.write.parquet(dir/batch=k) + manifest
+    df.writeTo(tbl).append()       | partitionBy(batch_id) write + manifest
     snapshot id per commit         | manifest entry {batch_id, seq, ts, ...}
     tbl.snapshots metadata table   | manifest.json -> lineage DataFrame
     resume via snapshot diff       | skip batch ids already in manifest
@@ -32,7 +32,10 @@ class Manifest:
 
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
-        self.path = os.path.join(table_dir, "manifest.json")
+        # underscore prefix: Spark's file index ignores _-prefixed files,
+        # so the commit log can live inside the table directory without
+        # breaking a whole-directory parquet read.
+        self.path = os.path.join(table_dir, "_manifest.json")
 
     def entries(self) -> list[dict]:
         if not os.path.exists(self.path):
@@ -79,9 +82,12 @@ class Manifest:
 
 
 def append_batch(df: DataFrame, table_dir: str, batch_id: int) -> str:
-    """Write one partition batch under ``table_dir/batch=<id>/`` (the
-    ``append()`` analog). Caller commits to the manifest afterwards."""
-    path = os.path.join(table_dir, f"batch={batch_id}")
+    """Write one partition batch under ``table_dir/batch_id=<id>/`` (the
+    ``append()`` analog). Caller commits to the manifest afterwards.
+    Note: the checkpointed pipeline writes ALL its batches in one
+    ``partitionBy("batch_id")`` pass instead (single input scan); this
+    per-batch form remains for incremental appends of new data slices."""
+    path = os.path.join(table_dir, f"batch_id={batch_id}")
     df.write.mode("overwrite").parquet(path)
     return path
 
@@ -92,5 +98,5 @@ def read_table(spark: SparkSession, table_dir: str, manifest: Manifest) -> DataF
     committed = sorted(manifest.committed_batches())
     if not committed:
         raise ValueError(f"no committed batches under {table_dir}")
-    paths = [os.path.join(table_dir, f"batch={b}") for b in committed]
+    paths = [os.path.join(table_dir, f"batch_id={b}") for b in committed]
     return spark.read.option("basePath", table_dir).parquet(*paths)

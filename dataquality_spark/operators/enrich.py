@@ -44,7 +44,8 @@ ENRICHED_SCHEMA = (
     "lang string, lang_conf double, ppl double, pii_hits int, toxic_hits int, "
     "scrubbed_transcript string, n_chars int, n_tokens int, n_distinct int, "
     "alpha_space_ratio double, t_hash bigint, tokens array<string>, "
-    "minhash_sig binary, bands array<bigint>, bow binary"
+    "tok_hashes array<bigint>, minhash_sig binary, bands array<bigint>, "
+    "bow binary"
 )
 
 
@@ -98,6 +99,7 @@ def enrich_batch(pdf: pd.DataFrame, langid_model, char_lm) -> pd.DataFrame:
                 [text_hash64(t or "") for t in texts], dtype=np.uint64
             ).astype(np.int64),
             "tokens": toks,
+            "tok_hashes": sigf["tok_hashes"],
             "minhash_sig": sigf["minhash_sig"],
             "bands": sigf["bands"],
             "bow": sigf["bow"],

@@ -1,0 +1,202 @@
+"""Materialized pure-Python inputs for the clips/media DuckDB oracles.
+
+The clips catalog queries (``clips_quality_labels``, ``clips_duplicate_
+pairs``, ``clips_audio_invariants``, ``media_feature_extract``) run over
+DETERMINISTIC generated data, so their DuckDB oracles can be real: this
+module generates the same clips locally (pure pandas/numpy — no Spark) and
+writes the *intermediate* frames to parquet files whose paths are baked
+into the oracle SQL strings:
+
+* ``enriched_n{N}.parquet`` — the per-row enrichment signals (model
+  outputs, token lists, hashed-BoW vectors, content hashes).  The oracle
+  then re-derives EVERYTHING downstream in SQL: exact-group windows,
+  exhaustive near-dup pairs (token-set Jaccard gate + BoW cosine — an
+  all-pairs recompute the distributed LSH funnel must match exactly,
+  which also verifies the funnel's recall), the 17-dimension policy CASE
+  tree, overall/action/keep.  Spark's distributed ``enrich`` is checked
+  against this pure-Python enrichment bit-for-bit, and Spark's
+  dedup+policy against the SQL recompute.
+* ``invariants_n{N}.parquet`` — per-clip decoded-PCM SNR from the same
+  shared decode helper the Spark query ships to executors; the oracle
+  re-derives decode_ok / snr_pass from clip-index arithmetic (the planted
+  failure cases are index-determined) and checks the SNR >= 30 dB
+  invariant on every decodable row.
+* ``media_features.parquet`` — the multimodal extractor's outputs
+  recomputed locally over identically-constructed media bytes.
+
+Files are content-versioned (bump ``VERSION`` when enrichment semantics
+change) and written atomically (tmp + rename), so the Spark query fn and
+``oracle_sql()`` can both "ensure" them in any order.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+
+VERSION = "v2"
+CACHE_DIR = os.environ.get("DQ_ORACLE_CACHE", "/tmp/dq_oracle_cache")
+
+N_LABELS = 4000      # clips_quality_labels corpus size
+N_PAIRS = 2000       # clips_duplicate_pairs corpus size
+N_INVARIANTS = 1000  # clips_audio_invariants corpus size
+N_MEDIA_CLIPS = 300  # media_feature_extract: audio rows
+N_MEDIA_BLOBS = 200  # media_feature_extract: image/video rows
+
+
+def enriched_path(n: int) -> str:
+    return os.path.join(CACHE_DIR, f"enriched_{VERSION}_n{n}.parquet")
+
+
+def invariants_path(n: int) -> str:
+    return os.path.join(CACHE_DIR, f"invariants_{VERSION}_n{n}.parquet")
+
+
+def media_path() -> str:
+    return os.path.join(
+        CACHE_DIR, f"media_{VERSION}_{N_MEDIA_CLIPS}_{N_MEDIA_BLOBS}.parquet"
+    )
+
+
+def _atomic_write(pdf, path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+    os.replace(tmp, path)
+
+
+# ----------------------------------------------------------------- enriched
+
+_ENRICHED_COLS = [
+    "clip_id", "sr_hz", "dur_ms", "codec", "decode_ok", "n_samples",
+    "header_sr_hz", "clip_ratio", "is_silent", "lang", "lang_conf", "ppl",
+    "pii_hits", "toxic_hits", "n_chars", "n_tokens", "n_distinct",
+    "alpha_space_ratio", "t_hash", "tokens", "bow_vec", "age_days",
+]
+
+
+def ensure_enriched(n: int) -> str:
+    """Generate + enrich n clips locally; write the signals parquet."""
+    path = enriched_path(n)
+    if os.path.exists(path):
+        return path
+    from ..datagen.clips import DEFAULT_RUN_TS, clips_pdf
+    from ..functions.langid import get_model as get_langid
+    from ..functions.minhash import unpack_bow
+    from ..functions.perplexity import get_model as get_charlm
+    from ..operators.enrich import enrich_batch
+
+    pdf = clips_pdf(n)
+    enr = enrich_batch(pdf, get_langid(), get_charlm())
+    run_date = DEFAULT_RUN_TS.date()
+    enr["age_days"] = np.asarray(
+        [(run_date - ts.date()).days for ts in pdf["ingest_ts"]],
+        dtype=np.int32,
+    )
+    # unpack the packed float32 blob so DuckDB sees a FLOAT[] list column
+    enr["bow_vec"] = [unpack_bow(b).tolist() for b in enr["bow"]]
+    _atomic_write(enr[_ENRICHED_COLS], path)
+    return path
+
+
+# --------------------------------------------------------------- invariants
+
+def snr_row(clip_id: str, raw: bytes) -> tuple[int, float, int]:
+    """(decode_ok, snr_db, snr_pass) for one clip — decode the WAV bytes,
+    recompute the analytic reference waveform from the clip index, SNR in
+    dB (input_hint: >= 30 dB per decodable row).  Shared by the Spark
+    ``clips_audio_invariants`` executors and the local oracle mirror, so
+    the two sides run literally the same arithmetic."""
+    from ..datagen.clips import reference_waveform
+    from ..functions.audio import decode_wav_pcm16
+
+    idx = int(clip_id.split("_")[1])
+    try:
+        dec = decode_wav_pcm16(bytes(raw))
+    except ValueError:
+        return 0, 0.0, 0
+    sig = dec.pcm.astype(np.float64) / 32767.0  # invert encode scale
+    ref = reference_waveform(idx, int(len(sig) * 1000 / dec.sr_hz))
+    m = min(len(ref), len(sig))
+    noise = ref[:m] - sig[:m]
+    p_sig = float(np.mean(ref[:m] ** 2))
+    p_noise = float(np.mean(noise**2)) or 1e-12
+    snr = 10.0 * np.log10(p_sig / p_noise) if p_sig > 0 else 99.0
+    return 1, round(float(snr), 2), int(snr >= 30.0 or p_sig == 0)
+
+
+def ensure_invariants(n: int) -> str:
+    path = invariants_path(n)
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from ..datagen.clips import row_for
+
+    rows = []
+    for i in range(n):
+        r = row_for(i)
+        ok, snr, ok_pass = snr_row(r["clip_id"], r["bytes"])
+        rows.append((r["clip_id"], ok, snr, ok_pass))
+    pdf = pd.DataFrame(
+        rows, columns=["clip_id", "decode_ok", "snr_db", "snr_pass"]
+    )
+    _atomic_write(pdf, path)
+    return path
+
+
+# -------------------------------------------------------------------- media
+
+def blob_bytes(idx: int) -> bytes:
+    """Mirror of the Spark-SQL blob constructor in media_feature_extract:
+    cast(concat_ws('', transform(sequence(1,64), i -> char(65 + pmod(id*i,
+    26)))) as binary)."""
+    return bytes(65 + (idx * i) % 26 for i in range(1, 65))
+
+
+def ensure_media() -> str:
+    path = media_path()
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from ..datagen.clips import row_for
+    from ..functions.audio import decode_wav_pcm16
+    from ..functions.multimodal import FEATURE_DIM, _fake_decode, _fake_feature
+
+    rows = []
+    for i in range(N_MEDIA_CLIPS):
+        r = row_for(i)
+        try:
+            dec = decode_wav_pcm16(r["bytes"])
+            rows.append((r["clip_id"], 0, 0, int(dec.pcm.size),
+                         zlib.crc32(r["bytes"]),
+                         float(_fake_feature(r["bytes"])[0]), FEATURE_DIM))
+        except ValueError:
+            rows.append((r["clip_id"], 0, 0, 0, 0, None, 0))
+    for i in range(N_MEDIA_BLOBS):
+        raw = blob_bytes(i)
+        w, hgt, nf = _fake_decode(raw)
+        nf = 1 if i % 2 == 0 else nf  # image rows are single-frame
+        rows.append((f"img_{i:09d}", w, hgt, nf, zlib.crc32(raw),
+                     float(_fake_feature(raw)[0]), FEATURE_DIM))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["media_id", "width", "height", "n_frames", "content_hash",
+                 "f0_raw", "feature_dim"],
+    )
+    _atomic_write(pdf, path)
+    return path
+
+
+def ensure_all() -> None:
+    """Materialize every oracle input (no-op when cached)."""
+    ensure_enriched(N_LABELS)
+    ensure_enriched(N_PAIRS)
+    ensure_invariants(N_INVARIANTS)
+    ensure_media()

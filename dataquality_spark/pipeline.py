@@ -18,6 +18,7 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .caching import cached
 from .operators.dedup import DedupResult, dedup
 from .operators.enrich import enrich
 from .operators.scoring import with_dimensions, with_policy
@@ -59,7 +60,8 @@ def run_pipeline(
         partitions, F.pmod(F.xxhash64("clip_id"), F.lit(partitions))
     )
     # Reused by the dedup joins AND the scoring/report path — persist once.
-    enriched = enriched.persist()
+    # (registered: callers caching.release_all() after materializing sinks)
+    enriched = cached(enriched)
 
     dd: DedupResult = dedup(enriched, buckets=dedup_buckets)
 

@@ -205,6 +205,13 @@ class QueryDef:
     tags: tuple[str, ...] = field(default=())
 
     def run(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Paired persist/unpersist lifecycle: the previous query's outputs
+        # have been materialized by the time the next one is requested, so
+        # its registered caches (shingle tables, dedup intermediates) are
+        # released here — the session never accumulates dead cached blocks.
+        from .caching import release_all
+
+        release_all()
         if self.fn is not None:
             return self.fn(spark, sf_dir)
         _register(spark, sf_dir)
@@ -340,9 +347,12 @@ def _shingle_rows_df(spark: SparkSession, sf_dir: str):
     """doc_id, shingle-hash rows as a persisted DataFrame. Spark inlines
     SQL CTEs, so the (interpreted-HOF) char hashing would otherwise be
     recomputed once per reference in the plan — persisting the slim
-    (doc_id, h) table computes it exactly once."""
+    (doc_id, h) table computes it exactly once. Registered with the cache
+    lifecycle: QueryDef.run releases it before the next query starts."""
+    from .caching import cached
+
     _register(spark, sf_dir)
-    return spark.sql(_sql_doc_shingle_rows("spark")).persist()
+    return cached(spark.sql(_sql_doc_shingle_rows("spark")))
 
 
 def _jaccard_pairs_df(spark: SparkSession, sf_dir: str, thresh: float,
@@ -1524,19 +1534,163 @@ _q(
 )
 
 
-# ------------------------------------------------- clips (rows-only ops) ---
+# ----------------------------------------------------- clips (with oracle) -
+#
+# The clips queries run on DETERMINISTIC generated data, so their DuckDB
+# oracles are real: a pure-Python (non-Spark) enrichment pass materializes
+# the per-row signals to parquet (oracle/clips_cache.py), and the oracle
+# SQL re-derives everything downstream — exact-group windows, EXHAUSTIVE
+# near-dup pairs (token-Jaccard gate + BoW cosine over all eligible rep
+# pairs, which also verifies the LSH funnel's recall), and the full
+# 17-dimension policy CASE tree.  Spark's distributed enrich is thereby
+# checked against the local enrichment bit-for-bit, and Spark's
+# dedup+policy against an independent SQL recompute.
+
+def _duck_dim_scores() -> dict[str, str]:
+    """The 17 dimension rules of operators/scoring.dimension_score_exprs,
+    rendered as DuckDB CASE expressions over the enriched-signals frame
+    (same constants: metadata.py:171-178, :387-433)."""
+    cps = "(CAST(n_chars AS DOUBLE) / (CAST(dur_ms AS DOUBLE) / 1000.0))"
+    dur_dec = "(CAST(n_samples AS DOUBLE) * 1000.0 / CAST(header_sr_hz AS DOUBLE))"
+    sr_ok = "sr_hz IN (8000, 16000, 22050, 24000, 44100, 48000)"
+    return {
+        "Accuracy": "CASE WHEN NOT decode_ok THEN 50 WHEN is_silent THEN 0 "
+                    "WHEN clip_ratio > 0.01 THEN 40 ELSE 90 END",
+        "Completeness": f"CASE WHEN n_tokens = 0 THEN 0 WHEN {cps} < 40.0 "
+                        f"OR {cps} > 1000.0 THEN 40 ELSE 90 END",
+        "Consistency": "CASE WHEN n_tokens = 0 THEN 50 WHEN (1.0 - "
+                       "CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+                       " > 0.5 THEN 40 ELSE 90 END",
+        "Timeliness": "CASE WHEN age_days > 30 THEN 60 ELSE 90 END",
+        "Validity": "CASE WHEN n_chars = 0 THEN 50 WHEN alpha_space_ratio "
+                    ">= 0.8 THEN 90 ELSE 40 END",
+        "Uniqueness": "CASE WHEN is_dup THEN 0 ELSE 100 END",
+        "Reliability": f"CASE WHEN {sr_ok} AND codec = 'pcm_s16le' THEN 90 "
+                       f"ELSE 30 END",
+        "Relevance": "CASE WHEN lang = 'en' AND lang_conf >= 0.6 THEN 90 "
+                     "WHEN lang = 'en' THEN 70 ELSE 20 END",
+        "Accessibility": "CASE WHEN decode_ok THEN 95 ELSE 0 END",
+        "Precision": f"CASE WHEN {sr_ok} THEN 90 ELSE 30 END",
+        "Integrity": f"CASE WHEN NOT decode_ok THEN 50 WHEN "
+                     f"abs({dur_dec} - dur_ms) > 100.0 THEN 30 ELSE 90 END",
+        "Conformity": "CASE WHEN codec = 'pcm_s16le' THEN 90 ELSE 30 END",
+        "Interpretability": "CASE WHEN ppl <= 150.0 THEN 90 WHEN ppl <= "
+                            "250.0 THEN 70 ELSE 25 END",
+        "Traceability": "CASE WHEN regexp_matches(clip_id, "
+                        "'^clip_[0-9]{12}$') THEN 95 ELSE 40 END",
+        "Credibility": "80",
+        "Fitness_for_Use": "CASE WHEN n_tokens = 0 OR ppl > 250.0 OR lang "
+                           "<> 'en' OR is_silent OR NOT decode_ok THEN 30 "
+                           "ELSE 85 END",
+        "Value": "CASE WHEN pii_hits > 0 OR toxic_hits > 0 THEN 10 ELSE 90 "
+                 "END",
+    }
+
+
+def _duck_clips_dedup_ctes(path: str) -> str:
+    """Shared oracle CTE chain: enriched parquet -> exact groups ->
+    eligible reps -> exhaustive near-dup verification (the all-pairs truth
+    the reference computes, metadata.py:514-624, made tractable through a
+    token inverted index; gate = 0.5 + 0.5*J >= 0.7 then BoW cosine >=
+    0.95 — operators/dedup.py P5/P6 constants)."""
+    return f"""
+enr AS (SELECT * FROM read_parquet('{path}')),
+grp AS (SELECT t_hash, min(clip_id) AS rep_id, count(*) AS gsize
+        FROM enr GROUP BY t_hash),
+mem AS (
+  SELECT e.*, g.rep_id, g.gsize,
+         (e.lang <> 'und' AND e.n_tokens > 0) AS eligible
+  FROM enr e JOIN grp g ON e.t_hash = g.t_hash),
+feats AS (SELECT clip_id, lang, tokens, bow_vec FROM mem
+          WHERE clip_id = rep_id AND eligible),
+tokrows AS (SELECT clip_id, lang, unnest(list_distinct(tokens)) AS tok
+            FROM feats),
+tsz AS (SELECT clip_id, count(*) AS n FROM tokrows GROUP BY clip_id),
+tinter AS (
+  SELECT a.clip_id AS id_a, b.clip_id AS id_b, count(*) AS i
+  FROM tokrows a JOIN tokrows b
+    ON a.tok = b.tok AND a.lang = b.lang AND a.clip_id < b.clip_id
+  GROUP BY a.clip_id, b.clip_id),
+jac AS (
+  SELECT id_a, id_b,
+         (CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE)) AS j
+  FROM tinter JOIN tsz x ON id_a = x.clip_id JOIN tsz y ON id_b = y.clip_id
+  WHERE (0.5 + 0.5 * (CAST(i AS DOUBLE) / CAST(x.n + y.n - i AS DOUBLE))) >= 0.7),
+cosv AS (
+  SELECT jac.id_a, jac.id_b, jac.j,
+         list_sum(list_transform(
+           list_zip(fa.bow_vec::DOUBLE[], fb.bow_vec::DOUBLE[]),
+           p -> p[1] * p[2])) AS cos
+  FROM jac JOIN feats fa ON jac.id_a = fa.clip_id
+           JOIN feats fb ON jac.id_b = fb.clip_id),
+verified AS (SELECT * FROM cosv WHERE cos >= 0.95)
+"""
+
+
+def _duck_clips_labels_oracle(path: str) -> str:
+    scores = _duck_dim_scores()
+    score_cols = ", ".join(
+        f"({expr}) AS s_{name.lower()}" for name, expr in scores.items()
+    )
+    total = " + ".join(f"s_{name.lower()}" for name in scores)
+    return f"""
+WITH {_duck_clips_dedup_ctes(path)},
+nearids AS (SELECT id_a AS clip_id FROM verified
+            UNION SELECT id_b FROM verified),
+flg AS (
+  SELECT m.*, (m.eligible AND (m.gsize >= 2 OR n.clip_id IS NOT NULL)) AS is_dup
+  FROM mem m LEFT JOIN nearids n ON m.rep_id = n.clip_id),
+sc AS (SELECT clip_id, decode_ok, lang, ppl, pii_hits, toxic_hits, is_dup,
+              {score_cols}
+       FROM flg),
+ov AS (SELECT *, CAST(round(CAST({total} AS DOUBLE) / 17.0, 0) AS INT)
+              AS overall FROM sc)
+SELECT clip_id,
+  CASE WHEN decode_ok THEN 'success' ELSE 'error' END AS status,
+  lang, round(ppl, 4) AS ppl, pii_hits, toxic_hits,
+  CAST(is_dup AS INT) AS is_dup,
+  overall AS overall_quality_score,
+  CASE WHEN overall >= 85 THEN 'KEEP' WHEN overall >= 70 THEN 'REVIEW'
+       WHEN overall >= 60 THEN 'QUARANTINE' ELSE 'DISCARD'
+  END AS recommended_action,
+  CASE WHEN overall >= 85 THEN 1 ELSE 0 END AS keep
+FROM ov ORDER BY clip_id
+"""
+
+
+def _duck_clips_pairs_oracle(path: str) -> str:
+    return f"""
+WITH {_duck_clips_dedup_ctes(path)},
+exact_pairs AS (
+  SELECT m.rep_id AS clip_1, m.clip_id AS clip_2,
+         CAST(100.0 AS DOUBLE) AS metadata_similarity,
+         CAST(100.0 AS DOUBLE) AS similarity
+  FROM mem m
+  WHERE m.eligible AND m.gsize >= 2 AND m.clip_id <> m.rep_id),
+near_pairs AS (
+  SELECT id_a AS clip_1, id_b AS clip_2,
+         round((0.5 + 0.5 * j) * 100.0, 2) AS metadata_similarity,
+         round(cos * 100.0, 2) AS similarity
+  FROM verified)
+SELECT * FROM (SELECT * FROM exact_pairs UNION ALL SELECT * FROM near_pairs)
+ORDER BY clip_1, clip_2
+"""
+
 
 def _clips_pipeline_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full audio clips quality-filter pipeline on deterministically
-    generated clips (no SQL oracle — verified against the pure-Python
-    oracle in tests/test_golden.py instead)."""
+    generated clips; the DuckDB oracle recomputes dedup + policy over the
+    pure-Python enriched-signals parquet (oracle/clips_cache.py)."""
     from pyspark.sql import functions as F
 
     from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .oracle import clips_cache
     from .pipeline import run_pipeline
 
-    n = 2000 if "0.001" in sf_dir else 4000
-    res = run_pipeline(clips_df(spark, n), DEFAULT_RUN_TS).results
+    clips_cache.ensure_enriched(clips_cache.N_LABELS)
+    res = run_pipeline(
+        clips_df(spark, clips_cache.N_LABELS), DEFAULT_RUN_TS
+    ).results
     return res.select(
         "clip_id", "status", "lang",
         F.round("ppl", 4).alias("ppl"),
@@ -1547,12 +1701,25 @@ def _clips_pipeline_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+from .oracle.clips_cache import (  # noqa: E402  (paths baked into oracle SQL)
+    N_INVARIANTS,
+    N_LABELS,
+    N_PAIRS,
+    enriched_path,
+    invariants_path,
+    media_path,
+)
+
 _q(
     "clips_quality_labels",
     fn=_clips_pipeline_results,
+    oracle=_duck_clips_labels_oracle(enriched_path(N_LABELS)),
     doc="Flagship clips pipeline end-to-end (enrich -> dedup -> 17-dim "
-        "policy) on generated audio+transcript rows; golden-tested vs the "
-        "pure-Python oracle (F1 gate).",
+        "policy). Oracle: DuckDB recomputes exact-dup groups, EXHAUSTIVE "
+        "near-dup pairs, and the policy CASE tree over the pure-Python "
+        "enriched parquet — a recall check on the LSH funnel plus an "
+        "independent policy recompute. Also golden-tested vs the "
+        "pure-Python oracle (tests/test_golden.py).",
     tags=("clips", "policy"),
 )
 
@@ -1561,9 +1728,11 @@ def _clips_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .oracle import clips_cache
     from .pipeline import run_pipeline
 
-    res = run_pipeline(clips_df(spark, 2000), DEFAULT_RUN_TS)
+    clips_cache.ensure_enriched(clips_cache.N_PAIRS)
+    res = run_pipeline(clips_df(spark, clips_cache.N_PAIRS), DEFAULT_RUN_TS)
     return res.duplicate_pairs.select(
         "clip_1", "clip_2",
         F.round("metadata_similarity", 2).alias("metadata_similarity"),
@@ -1574,9 +1743,12 @@ def _clips_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _q(
     "clips_duplicate_pairs",
     fn=_clips_dup_pairs,
+    oracle=_duck_clips_pairs_oracle(enriched_path(N_PAIRS)),
     doc="Clips near-dup pair list (P5 reporting shape: file_1/file_2/"
         "similarity percent, metadata.py:592-597) from the LSH + cogroup "
-        "path.",
+        "path. Oracle: DuckDB recomputes the exact star edges AND the "
+        "exhaustive gated near-dup pairs with the same rounded percent "
+        "values over the pure-Python enriched parquet.",
     tags=("clips", "dedup"),
 )
 
@@ -1584,47 +1756,62 @@ _q(
 def _clips_audio_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoded-PCM invariant check distributed over executors: decode the
     WAV bytes, recompute the reference waveform from the clip index, emit
-    per-clip SNR (input_hint: SNR >= 30 dB)."""
+    per-clip SNR (input_hint: SNR >= 30 dB). The per-row arithmetic is the
+    shared oracle/clips_cache.snr_row helper, so the executors and the
+    local oracle mirror run literally the same code."""
     from typing import Iterator
 
-    import numpy as np
     import pandas as pd
 
-    from .datagen.clips import DEFAULT_RUN_TS, clips_df, reference_waveform
-    from .functions.audio import decode_wav_pcm16
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .oracle import clips_cache
+    from .oracle.clips_cache import snr_row
+
+    clips_cache.ensure_invariants(clips_cache.N_INVARIANTS)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
-                idx = int(cid.split("_")[1])
-                try:
-                    dec = decode_wav_pcm16(bytes(raw))
-                except ValueError:
-                    rows.append((cid, 0, 0.0, 0))
-                    continue
-                sig = dec.pcm.astype(np.float64) / 32767.0  # invert encode scale
-                ref = reference_waveform(idx, int(len(sig) * 1000 / dec.sr_hz))
-                m = min(len(ref), len(sig))
-                noise = ref[:m] - sig[:m]
-                p_sig = float(np.mean(ref[:m] ** 2))
-                p_noise = float(np.mean(noise**2)) or 1e-12
-                snr = 10.0 * np.log10(p_sig / p_noise) if p_sig > 0 else 99.0
-                rows.append((cid, 1, round(float(snr), 2), int(snr >= 30.0 or p_sig == 0)))
-            yield pd.DataFrame(rows, columns=["clip_id", "decode_ok", "snr_db", "snr_pass"])
+            rows = [
+                (cid, *snr_row(cid, raw))
+                for cid, raw in zip(pdf["clip_id"], pdf["bytes"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "decode_ok", "snr_db", "snr_pass"]
+            )
 
-    clips = clips_df(spark, 1000, run_ts=DEFAULT_RUN_TS)
+    clips = clips_df(spark, clips_cache.N_INVARIANTS, run_ts=DEFAULT_RUN_TS)
     return clips.select("clip_id", "bytes").mapInPandas(
         stats, schema="clip_id string, decode_ok int, snr_db double, snr_pass int"
     ).orderBy("clip_id")
 
 
+def _duck_invariants_oracle(path: str) -> str:
+    """Oracle: snr_db comes from the locally-recomputed parquet (checks
+    distributed decode == local decode to the rounded dB); decode_ok and
+    snr_pass are RE-DERIVED from clip-index arithmetic — the only planted
+    decode failure is k = 23 (garbage bytes, datagen/clips.py), everything
+    else MUST pass the >= 30 dB invariant (silent clips pass by the
+    zero-power rule)."""
+    return f"""
+WITH inv AS (SELECT *, CAST(substring(clip_id, 6) AS INT) % 100 AS k
+             FROM read_parquet('{path}'))
+SELECT clip_id,
+  CASE WHEN k = 23 THEN 0 ELSE 1 END AS decode_ok,
+  snr_db,
+  CASE WHEN k = 23 THEN 0 ELSE 1 END AS snr_pass
+FROM inv ORDER BY clip_id
+"""
+
+
 _q(
     "clips_audio_invariants",
     fn=_clips_audio_invariants,
+    oracle=_duck_invariants_oracle(invariants_path(N_INVARIANTS)),
     doc="Per-row audio invariant (input_hint): decode PCM in an Arrow-"
         "batched pass, SNR vs the analytically recomputed reference "
-        "waveform, >= 30 dB.",
+        "waveform, >= 30 dB. Oracle: local pure-Python decode parquet + "
+        "index-derived expectations (decode fails only at the planted "
+        "k=23 rows; every decodable row must pass).",
     tags=("clips", "audio"),
 )
 
@@ -1639,15 +1826,17 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .datagen.clips import clips_df
     from .functions.multimodal import extract_features
+    from .oracle import clips_cache
 
-    clips = clips_df(spark, 300).select(
+    clips_cache.ensure_media()
+    clips = clips_df(spark, clips_cache.N_MEDIA_CLIPS).select(
         F.col("clip_id").alias("media_id"),
         F.lit("audio").alias("kind"),
         "bytes",
         F.lit("audio/wav").alias("mime"),
         F.lit(0).alias("width"), F.lit(0).alias("height"), F.col("dur_ms"),
     )
-    blobs = spark.range(0, 200).select(
+    blobs = spark.range(0, clips_cache.N_MEDIA_BLOBS).select(
         F.format_string("img_%09d", F.col("id")).alias("media_id"),
         F.when(F.col("id") % 2 == 0, "image").otherwise("video").alias("kind"),
         # opaque deterministic payload: repeated little-endian counter bytes
@@ -1663,19 +1852,51 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", F.col("decode_ok").cast("int").alias("decode_ok"),
         "width", "height", "n_frames", "content_hash",
-        F.round(F.try_element_at("feature", F.lit(1)), 4).alias("f0"),
+        # cast the float32 element to double BEFORE rounding — rounding in
+        # float32 yields 0.8233f != the oracle's double 0.8233
+        F.coalesce(
+            F.round(F.try_element_at("feature", F.lit(1)).cast("double"), 4),
+            F.lit(-1.0),
+        ).alias("f0"),
         F.size("feature").alias("feature_dim"),
     ).orderBy("media_id")
+
+
+def _duck_media_oracle(path: str) -> str:
+    """Oracle: width/height/n_frames/content_hash/f0 from the local
+    pure-Python recompute over identically-constructed media bytes; kind,
+    decode_ok, and feature_dim RE-DERIVED from media-id arithmetic (audio
+    decode fails only at the planted k=23 clips; blob kind alternates by
+    index parity — the constructors in media_feature_extract)."""
+    return f"""
+WITH med AS (SELECT * FROM read_parquet('{path}')),
+d AS (
+  SELECT *,
+    CASE WHEN media_id LIKE 'clip_%' THEN 'audio'
+         WHEN CAST(substring(media_id, 5) AS INT) % 2 = 0 THEN 'image'
+         ELSE 'video' END AS kind,
+    CASE WHEN media_id LIKE 'clip_%'
+          AND CAST(substring(media_id, 6) AS INT) % 100 = 23
+         THEN 0 ELSE 1 END AS ok
+  FROM med)
+SELECT media_id, kind, ok AS decode_ok, width, height, n_frames,
+  content_hash,
+  coalesce(round(f0_raw, 4), -1.0) AS f0,
+  CASE WHEN ok = 1 THEN 16 ELSE 0 END AS feature_dim
+FROM d ORDER BY media_id
+"""
 
 
 _q(
     "media_feature_extract",
     fn=_media_features,
+    oracle=_duck_media_oracle(media_path()),
     doc="Multimodal binary columns (audio real, image/video deterministic "
         "fake decode) through the Arrow-batched mapInPandas extractor — "
         "schema/batch-shape/error-routing plumbing for the 100TB "
-        "media-processing path (rows-only check; golden-tested in "
-        "tests/test_multimodal.py).",
+        "media-processing path. Oracle: local pure-Python recompute of the "
+        "same features + media-id-derived expectations; also golden-tested "
+        "in tests/test_multimodal.py.",
     tags=("multimodal",),
 )
 
@@ -1689,6 +1910,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The clips/media oracles read pure-Python-materialized parquet whose
+    # paths are baked into the SQL; make sure those files exist no matter
+    # whether the driver runs the Spark side or the oracle side first
+    # (no-op when already cached).
+    from .oracle.clips_cache import ensure_all
+
+    ensure_all()
     return {name: q.oracle for name, q in CATALOG.items() if q.oracle}
 
 

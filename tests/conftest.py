@@ -10,3 +10,13 @@ def spark():
     s = get_spark(app_name="dq_tests", master="local[8]", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+@pytest.fixture(autouse=True)
+def _release_caches():
+    """Paired persist/unpersist: drop every cached() frame after each test
+    so the shared session never accumulates dead cached blocks."""
+    yield
+    from dataquality_spark.caching import release_all
+
+    release_all()

@@ -55,7 +55,8 @@ def main() -> None:
     warm = run_pipeline(clips.limit(512), DEFAULT_RUN_TS,
                         include_evidence=False, partitions=max(4 * cores, 8))
     warm.results.write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
+    from dataquality_spark.caching import release_all
+    release_all()
 
     t0 = time.time()
     res = run_pipeline(clips, DEFAULT_RUN_TS, include_evidence=False,
@@ -64,6 +65,7 @@ def main() -> None:
     res.duplicate_pairs.write.format("noop").mode("overwrite").save()
     res.run_metrics.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
+    release_all()
 
     out = {"cores": cores, "n_clips": n, "wall_sec": round(wall, 2),
            "clips_per_sec": round(n / wall, 1)}
