@@ -1,0 +1,86 @@
+"""Batch approvals workflow: P7 promotion over an approvals state table.
+
+The reference keeps a mutable ``dimension_approvals`` map per file and
+promotes: >= 7 approved dimensions -> action "APPROVED"; a rejection that
+drops the count below 7 -> "REVIEW" (``backend/app/api/routes.py:620-638``,
+``:698-709``), propagated to dashboards via the best-approvals snapshot
+join (``routes.py:43-82``, ``:516-527``).
+
+Batch re-expression over an append-only approval-events table
+``(file_key, dimension, status, ts)``:
+
+* :func:`latest_dimension_state` — MERGE-style upsert as a latest-wins
+  window (``row_number`` per (file_key, dimension) by ts desc): appending
+  new events and re-running IS the upsert, no mutable state.  This is the
+  Iceberg ``MERGE INTO`` shape: at production scale the same dedup runs as
+  a MERGE on the snapshot table keyed by (file_key, dimension).
+* :func:`approval_counts` — approved/rejected counts per file from the
+  latest state only (rejected history under an approval does not count,
+  matching the reference's "current status" map semantics).
+* :func:`promote` — the promotion join applied to a results frame:
+  approvals >= 7 -> APPROVED; else any rejection -> REVIEW; else the
+  pipeline action stands.
+
+All native expressions (one shuffle for the window, one for the count,
+one broadcast-able join back) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# routes.py:626-638 — promotion threshold on approved-dimension count
+APPROVALS_PROMOTE_MIN = 7
+STATUS_APPROVED = "approved"
+STATUS_REJECTED = "rejected"
+
+
+def latest_dimension_state(events: DataFrame) -> DataFrame:
+    """(file_key, dimension, status, ts) events -> latest status per
+    (file_key, dimension). Latest-wins window = the batch MERGE upsert."""
+    w = Window.partitionBy("file_key", "dimension").orderBy(
+        F.desc("ts"), F.desc("status")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("file_key", "dimension", "status", "ts")
+    )
+
+
+def upsert_approvals(existing: DataFrame, new_events: DataFrame) -> DataFrame:
+    """MERGE-style upsert: union the snapshot with new events, latest wins.
+    Append + re-window gives identical results to a keyed MERGE, with no
+    mutable table required (sandbox parquet; Iceberg MERGE INTO at prod)."""
+    return latest_dimension_state(existing.unionByName(new_events))
+
+
+def approval_counts(state: DataFrame) -> DataFrame:
+    """Per-file approved/rejected dimension counts from the latest state
+    (A6: count of dims whose CURRENT status is approved, routes.py:59-60)."""
+    return state.groupBy("file_key").agg(
+        F.sum((F.col("status") == STATUS_APPROVED).cast("long")).alias(
+            "approvals"
+        ),
+        F.sum((F.col("status") == STATUS_REJECTED).cast("long")).alias(
+            "rejections"
+        ),
+    )
+
+
+def promote(results: DataFrame, counts: DataFrame,
+            key: str = "clip_id") -> DataFrame:
+    """Promotion join (P7): approvals >= 7 -> APPROVED; below the bar with
+    any rejection -> REVIEW; else the pipeline action stands.  ``counts``
+    is per-file and tiny relative to results -> Catalyst broadcasts it."""
+    joined = results.join(
+        counts.withColumnRenamed("file_key", key), key, "left"
+    ).fillna({"approvals": 0, "rejections": 0})
+    final = (
+        F.when(F.col("approvals") >= APPROVALS_PROMOTE_MIN, F.lit("APPROVED"))
+        .when(F.col("rejections") > 0, F.lit("REVIEW"))
+        .otherwise(F.col("recommended_action"))
+    )
+    return joined.withColumn("final_action", final)

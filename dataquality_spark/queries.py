@@ -715,6 +715,10 @@ def _sql_cosine_pairs(d: str) -> str:
     the near-dup operating point; low-cos pairs are intentionally
     sampled-down), precision exact — same framing as the MinHash funnel.
     """
+    # One row per (vector, hyperplane): each projection expression is
+    # referenced exactly ONCE, so Catalyst's CTE/projection inlining can
+    # never duplicate the expensive dot product (an array-of-64-projections
+    # formulation was measured to blow up 64x through expression inlining).
     mix = (
         "(CAST(b*4099 + j*9973 + 12345 AS BIGINT) "
         "* CAST(b*4099 + j*9973 + 12345 AS BIGINT))"
@@ -724,39 +728,38 @@ def _sql_cosine_pairs(d: str) -> str:
             f"CASE WHEN pmod({mix} % {MOD}, 2) = 0 "
             f"THEN element_at(v, j+1) ELSE -element_at(v, j+1) END"
         )
-        projs = (
-            f"transform(sequence(0, {RHP_BITS - 1}), b -> "
+        proj = (
             f"aggregate(transform(sequence(0, {EMB_DIM - 1}), j -> {signed}), "
-            f"0D, (s, x) -> s + x))"
+            f"0D, (s, x) -> s + x)"
         )
-        bandv = (
-            f"aggregate(sequence(0, {RHP_ROWS - 1}), 0L, (acc, r) -> acc*2 + "
-            f"(CASE WHEN element_at(pr, band_idx*{RHP_ROWS}+r+1) >= 0 "
-            f"THEN 1 ELSE 0 END))"
-        )
+        explode_b = f"explode(sequence(0, {RHP_BITS - 1})) AS b"
+        band_idx = f"b div {RHP_ROWS}"
         vcast = "cast(embedding as array<double>)"
     else:
         signed = (
             f"CASE WHEN (({mix} % {MOD}) % 2) = 0 "
             f"THEN v[j+1] ELSE -v[j+1] END"
         )
-        projs = (
-            f"list_transform(generate_series(0, {RHP_BITS - 1}), b -> "
+        proj = (
             f"list_sum(list_transform(generate_series(0, {EMB_DIM - 1}), "
-            f"j -> {signed})))"
+            f"j -> {signed}))"
         )
-        bandv = (
-            f"list_reduce(list_prepend(0::BIGINT, "
-            f"generate_series(0, {RHP_ROWS - 1})), (acc, r) -> acc*2 + "
-            f"(CASE WHEN pr[band_idx*{RHP_ROWS}+r+1] >= 0 THEN 1 ELSE 0 END))"
-        )
+        explode_b = f"unnest(generate_series(0, {RHP_BITS - 1})) AS b"
+        band_idx = f"b // {RHP_ROWS}"
         vcast = "embedding::DOUBLE[]"
+    # band value = Σ bit_r · 2^(7-r): integer-exact in both dialects
+    weight = f"CAST(round(power(2, {RHP_ROWS - 1} - (b % {RHP_ROWS}))) AS BIGINT)"
     cos = _cos(d, "x.v", "y.v")
     return f"""
 WITH e AS (SELECT vec_id, {vcast} AS v FROM embeddings),
-p AS (SELECT vec_id, v, {projs} AS pr FROM e),
-idx AS (SELECT {_explode(d, f'sequence(0, {RHP_BANDS - 1})' if d == 'spark' else f'generate_series(0, {RHP_BANDS - 1})', 'band_idx')}),
-br AS (SELECT vec_id, band_idx, {bandv} AS band_val FROM p CROSS JOIN idx),
+hp AS (SELECT vec_id, v, {explode_b} FROM e),
+bits AS (
+  SELECT vec_id, CAST({band_idx} AS INT) AS band_idx,
+         (CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END) * {weight} AS wbit
+  FROM hp),
+br AS (
+  SELECT vec_id, band_idx, CAST(sum(wbit) AS BIGINT) AS band_val
+  FROM bits GROUP BY vec_id, band_idx),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM br a JOIN br b

@@ -67,6 +67,29 @@ def test_every_query_has_doc_and_callable():
         assert q.fn or q.spark_sql, name
 
 
+def test_every_query_has_an_oracle():
+    """The correctness bar: NO rows-only entries — every operator carries
+    a hard DuckDB-checked oracle."""
+    missing = [n for n, q in CATALOG.items() if not q.oracle]
+    assert not missing, f"queries without oracle: {missing}"
+
+
+def test_emb_cosine_pairs_has_no_cartesian_plan(spark):
+    """The embedding pair query must generate candidates via the banded
+    equi-join — never a cartesian / theta self-join (the scale-killer the
+    LSH rework removed). emb_cosine_topk's single-probe broadcast NL join
+    is the accepted J4 degenerate case; this guards the PAIRS query."""
+    plan = (
+        CATALOG["emb_cosine_pairs"]
+        .run(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as m
 

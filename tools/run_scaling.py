@@ -106,12 +106,14 @@ def main() -> None:
         write_clips_parquet(spark, quarter_path, n_clips // 4)
         spark.stop()
 
-    # The high-core config is disproportionately exposed to host-neighbor
-    # noise (observed 2.3x spread on identical runs vs 12% at 2 cores), so
-    # it gets extra repeats; best-of converges on the machine's capability.
+    # Symmetric sampling: EVERY configuration runs the same number of
+    # repeats, so best-of cannot bias the efficiency ratio toward either
+    # side. (The high-core config is more exposed to host-neighbor noise —
+    # observed 2.3x spread — so pick `repeats` high enough for both rather
+    # than giving one side extra attempts.)
     r_weak_small = run_one(workdir, zip_path, quarter_path, n_small, repeats)
     r_small = run_one(workdir, zip_path, clips_path, n_small, repeats)
-    r_big = run_one(workdir, zip_path, clips_path, n_big, repeats + 3)
+    r_big = run_one(workdir, zip_path, clips_path, n_big, repeats)
 
     strong = r_small["wall_sec"] / r_big["wall_sec"] / 4.0
     weak = (r_big["clips_per_sec"] / r_weak_small["clips_per_sec"]) / 4.0
@@ -132,9 +134,10 @@ def main() -> None:
         "(generation + planner warmup excluded from timing), launched "
         "`spark-submit --py-files dataquality_spark.zip`, process tree "
         f"pinned to exactly N cores with taskset, best of {repeats} runs "
-        "(tools/run_scaling.py documents the pinning/repeat protocol and "
-        "why unpinned local[32] on this virtualized host measures the "
-        "hypervisor, not the engine)\n",
+        "per configuration (symmetric sampling — identical repeat count "
+        "at N and 4N; tools/run_scaling.py documents the pinning/repeat "
+        "protocol and why unpinned local[32] on this virtualized host "
+        "measures the hypervisor, not the engine)\n",
         "- **N vs 4N cores, identical input** (the two-cluster-size "
         f"criterion; same {n_clips}-clip corpus at both sizes):\n",
         f"  - {n_small} cores: {r_small['wall_sec']} s "
