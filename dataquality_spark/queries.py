@@ -1537,6 +1537,163 @@ _q(
 )
 
 
+N_KM_CENTROIDS = 16
+N_KM_PROBE = 4
+
+
+def _sql_kmeans_ivf_topk(d: str) -> str:
+    """IVF with TRAINED centroids: two unrolled Lloyd iterations entirely
+    in declarative form (assignment = argmin-L2 window over an equi-
+    product with the 16-row centroid frame, which Catalyst broadcasts;
+    update = explode-to-(cluster, dim) -> avg -> rebuild array), then the
+    standard nprobe search. The iterative-algorithm-as-DAG pattern: each
+    iteration is a pair of shuffles, no driver-side loop state."""
+    if d == "spark":
+        def dist(a: str, b: str) -> str:
+            return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x-y)*(x-y)), "
+                    f"0D, (s, x) -> s + x)")
+        vcast = "cast(embedding as array<double>)"
+        explode_dims = (
+            "SELECT cid, j, val FROM {src} "
+            "LATERAL VIEW posexplode(v) t AS j, val"
+        )
+        rebuild = ("transform(array_sort(collect_list(struct(j, m))), "
+                   "s -> s.m)")
+    else:
+        def dist(a: str, b: str) -> str:
+            return (f"list_sum(list_transform(list_zip({a}, {b}), "
+                    f"p -> (p[1]-p[2])*(p[1]-p[2])))")
+        vcast = "embedding::DOUBLE[]"
+        explode_dims = (
+            "SELECT cid, unnest(generate_series(0, len(v) - 1)) AS j, "
+            "unnest(v) AS val FROM {src}"
+        )
+        rebuild = "list(m ORDER BY j)"
+
+    def assign(cent: str) -> str:
+        return f"""
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist('e.v', 'c.cv')}, c.cid) AS rn
+    FROM e CROSS JOIN {cent} c) t WHERE rn = 1"""
+
+    def update(assigned: str) -> str:
+        exploded = explode_dims.format(src=assigned)
+        return f"""
+  SELECT cid, {rebuild} AS cv FROM (
+    SELECT cid, j, avg(val) AS m
+    FROM ({exploded}) dims
+    GROUP BY cid, j) g GROUP BY cid"""
+
+    cos = _cos(d, "r.v", "p.pv")
+    return f"""
+WITH e AS (SELECT vec_id, {vcast} AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_KM_CENTROIDS}),
+a1 AS ({assign('c0')}),
+c1 AS ({update('a1')}),
+a2 AS ({assign('c1')}),
+c2 AS ({update('a2')}),
+a3 AS ({assign('c2')}),
+p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+plists AS (
+  SELECT c.cid FROM c2 c CROSS JOIN p
+  ORDER BY {dist('c.cv', 'p.pv')}, c.cid LIMIT {N_KM_PROBE})
+SELECT r.vec_id, round({cos}, 6) AS cos_sim
+FROM a3 r JOIN plists pl ON r.cid = pl.cid CROSS JOIN p
+WHERE r.vec_id <> 0
+ORDER BY cos_sim DESC, r.vec_id
+LIMIT 10
+"""
+
+
+_q(
+    "emb_kmeans_ivf_topk",
+    spark_sql=_sql_kmeans_ivf_topk("spark"),
+    oracle=_sql_kmeans_ivf_topk("duck"),
+    doc="IVF ANN with k-means-TRAINED coarse centroids: two Lloyd "
+        "iterations unrolled as DataFrame-shaped SQL (assignment = "
+        "broadcast argmin window, update = explode-dims groupBy avg), "
+        "then nprobe=4 search — the trained complement of emb_ivf_topk's "
+        "seed-row quantizer, still with zero driver-side iteration state.",
+    tags=("ann",),
+)
+
+
+def _sql_tfidf_cosine_pairs(d: str) -> str:
+    """TF-IDF-weighted cosine over an inverted index: the weighted sibling
+    of the shingle-Jaccard pairs. All heavy math is rational/log over
+    integer counts, so both dialects agree bit-for-bit."""
+    ln = "ln"
+    return f"""
+WITH tok AS ({_sql_doc_tokens(d)}),
+tf AS (SELECT doc_id, t AS term, count(*) AS f
+       FROM (SELECT doc_id, {_explode(d, 'toks', 't')} FROM tok) x
+       GROUP BY doc_id, t),
+n AS (SELECT count(*) AS nd FROM documents),
+df AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         (1.0 + {ln}(CAST(tf.f AS DOUBLE))) *
+         {ln}({_div('nd + 1', 'dfreq + 1')}) AS wt
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nn FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, round(dot / (x.nn * y.nn), 6) AS tfidf_cos
+FROM dots JOIN nrm x ON id_a = x.doc_id JOIN nrm y ON id_b = y.doc_id
+WHERE dot / (x.nn * y.nn) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+_q(
+    "doc_tfidf_cosine_pairs",
+    spark_sql=_sql_tfidf_cosine_pairs("spark"),
+    oracle=_sql_tfidf_cosine_pairs("duck"),
+    doc="TF-IDF-weighted cosine similarity pairs via the term inverted "
+        "index (dot products fall out of the term equi-join + groupBy — "
+        "never an all-pairs product). The weighted complement of "
+        "doc_shingle_jaccard_pairs for near-dup mining where common-word "
+        "overlap must not count.",
+    tags=("dedup", "text"),
+)
+
+
+def _sql_dimension_validation(d: str) -> str:
+    """P1/C6 in isolation: noisy incoming dimension scores (deterministic
+    synthetic corruption by doc_id residue: out-of-range highs/lows and
+    missing dims) -> clamp to [0,100], default 50 for missing."""
+    raw = (
+        "CASE WHEN doc_id % 5 = 0 THEN 150 + doc_id % 50 "
+        "WHEN doc_id % 5 = 1 THEN -(doc_id % 40) "
+        "WHEN doc_id % 5 = 2 THEN NULL "
+        "ELSE doc_id % 101 END"
+    )
+    return f"""
+WITH raw AS (SELECT doc_id, {raw} AS raw_score FROM documents)
+SELECT doc_id, raw_score,
+  CAST(coalesce(greatest(0, least(100, raw_score)), 50) AS INT) AS score,
+  CAST(raw_score IS NULL AS INT) AS was_missing,
+  CAST(coalesce(raw_score > 100 OR raw_score < 0, false) AS INT) AS was_clamped
+FROM raw ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_dimension_validation",
+    spark_sql=_sql_dimension_validation("spark"),
+    oracle=_sql_dimension_validation("duck"),
+    doc="P1 dimension validation / C6 clamp in isolation: "
+        "greatest(0, least(100, score)) with default 50 for missing "
+        "dimensions (metadata.py:171-178) over deterministically corrupted "
+        "inputs exercising every branch.",
+    tags=("policy",),
+)
+
+
 # ----------------------------------------------------- clips (with oracle) -
 #
 # The clips queries run on DETERMINISTIC generated data, so their DuckDB

@@ -8,6 +8,7 @@ per micro-batch with exactly-once sinks and checkpoint-based resume.
 
 from .pipeline import (
     CLIPS_STREAM_DDL,
+    approvals_running_state,
     dedup_stream,
     lang_running_totals,
     read_clip_stream,
@@ -18,6 +19,7 @@ from .pipeline import (
 
 __all__ = [
     "CLIPS_STREAM_DDL",
+    "approvals_running_state",
     "read_clip_stream",
     "score_clips",
     "dedup_stream",

@@ -161,6 +161,52 @@ def lang_running_totals(scored: DataFrame) -> DataFrame:
     )
 
 
+_APPR_STATE_SCHEMA = "dims_json string"
+_APPR_OUT_SCHEMA = (
+    "file_key string, approvals long, rejections long, promoted boolean"
+)
+
+
+def _approvals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    dims: dict = json.loads(state.get[0]) if state.exists else {}
+    for pdf in pdfs:
+        # events within a trigger apply in ts order — latest wins per dim,
+        # exactly the batch operators/approvals.py window semantics
+        for _, row in pdf.sort_values("ts").iterrows():
+            dims[row["dimension"]] = row["status"]
+    state.update((json.dumps(dims, sort_keys=True),))
+    approvals = sum(1 for s in dims.values() if s == "approved")
+    rejections = sum(1 for s in dims.values() if s == "rejected")
+    yield pd.DataFrame(
+        {
+            "file_key": [key[0]],
+            "approvals": [approvals],
+            "rejections": [rejections],
+            "promoted": [approvals >= 7],
+        }
+    )
+
+
+def approvals_running_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/approvals.py (P7): per-file dimension
+    approval state as keyed state — each trigger folds new approval
+    events into the latest-wins dimension map and re-emits the counts +
+    the >= 7 promotion flag (routes.py:620-638). State is one small map
+    per file_key; production would add an event-time timeout to retire
+    files whose review closed."""
+    return events.groupBy("file_key").applyInPandasWithState(
+        _approvals_fn,
+        outputStructType=_APPR_OUT_SCHEMA,
+        stateStructType=_APPR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_scoring_query(
     spark: SparkSession,
     input_dir: str,

@@ -184,3 +184,46 @@ def test_lang_running_totals_state(spark, tmp_path):
     assert got["n_clips"].sum() == 200
     for lang, row in want.iterrows():
         assert got.loc[lang, "n_clips"] == row["count"]
+
+
+def test_approvals_running_state_promotes_across_batches(spark, tmp_path):
+    """P7 streaming twin: the approvals keyed state folds events across
+    micro-batches; promotion flips exactly when the 7th distinct dimension
+    is approved, and a later rejection demotes."""
+    from dataquality_spark.streaming import approvals_running_state
+
+    inp = str(tmp_path / "appr_in")
+    ddl = "file_key string, dimension string, status string, ts timestamp"
+    t0 = dt.datetime(2026, 1, 10, 12, 0, 0)
+
+    def drop(rows):
+        spark.createDataFrame(
+            [(f, d, s, t0 + dt.timedelta(minutes=m)) for f, d, s, m in rows],
+            ddl,
+        ).coalesce(1).write.parquet(inp, mode="append")
+
+    # batch 1: 6 approvals -> not promoted yet
+    drop([("A", f"dim{i}", "approved", i) for i in range(6)])
+    # batch 2: the 7th approval promotes; B gets a rejection
+    drop([("A", "dim6", "approved", 10), ("B", "dim0", "rejected", 11)])
+    # batch 3: rejection of an approved dim drops A to 6 -> demoted
+    drop([("A", "dim2", "rejected", 20)])
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inp)
+    )
+    q = (
+        approvals_running_state(stream)
+        .writeStream.format("memory").queryName("apprst")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from apprst").toPandas()
+    a_hist = rows[rows.file_key == "A"].reset_index(drop=True)
+    # 3 triggers touched A -> 3 emissions: 6 -> 7 (promoted) -> 6 (demoted)
+    assert list(a_hist["approvals"]) == [6, 7, 6]
+    assert list(a_hist["promoted"]) == [False, True, False]
+    b = rows[rows.file_key == "B"].iloc[0]
+    assert b["rejections"] == 1 and not b["promoted"]
