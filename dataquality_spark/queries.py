@@ -1537,6 +1537,178 @@ _q(
 )
 
 
+def _sql_quality_percentiles(d: str) -> str:
+    base = _sql_quality_policy(d)
+    base = base[: base.rfind("ORDER BY")]
+    if d == "spark":
+        def q(p: float) -> str:
+            return f"percentile(overall_quality_score, {p})"
+    else:
+        def q(p: float) -> str:
+            return f"quantile_cont(overall_quality_score, {p})"
+    return f"""
+WITH base AS ({base})
+SELECT count(*) AS n_docs,
+  round({q(0.25)}, 4) AS p25, round({q(0.5)}, 4) AS p50,
+  round({q(0.75)}, 4) AS p75, round({q(0.95)}, 4) AS p95,
+  min(overall_quality_score) AS min_score,
+  max(overall_quality_score) AS max_score
+FROM base
+"""
+
+
+_q(
+    "doc_quality_percentiles",
+    spark_sql=_sql_quality_percentiles("spark"),
+    oracle=_sql_quality_percentiles("duck"),
+    doc="Exact interpolated percentiles of the overall quality score "
+        "(Spark percentile() == DuckDB quantile_cont semantics) — the "
+        "distribution view a quality dashboard needs beyond averages.",
+    tags=("agg", "policy"),
+)
+
+
+def _sql_quality_bands(d: str) -> str:
+    base = _sql_quality_policy(d)
+    base = base[: base.rfind("ORDER BY")]
+    band = (
+        "CASE WHEN overall_quality_score >= 80 THEN 'excellent' "
+        "WHEN overall_quality_score >= 60 THEN 'good' "
+        "WHEN overall_quality_score >= 40 THEN 'fair' "
+        "ELSE 'poor' END"
+    )
+    return f"""
+WITH base AS ({base})
+SELECT {band} AS band, count(*) AS n_docs,
+  round(avg(overall_quality_score), 4) AS avg_score
+FROM base GROUP BY {band} ORDER BY band
+"""
+
+
+_q(
+    "doc_quality_bands",
+    spark_sql=_sql_quality_bands("spark"),
+    oracle=_sql_quality_bands("duck"),
+    doc="P9 severity bands (>=80 excellent / >=60 good / >=40 fair / "
+        "poor, QualityScoreChart.jsx:54-56) as a grouped count — the "
+        "engine-side form of the reference's display-only banding.",
+    tags=("agg", "policy"),
+)
+
+
+def _sql_anti_semi_join(d: str) -> str:
+    return """
+WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+no_orders AS (
+  SELECT c_custkey FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM buyers)),
+with_orders AS (
+  SELECT c_custkey FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM buyers))
+SELECT 'anti' AS op, count(*) AS n FROM no_orders
+UNION ALL SELECT 'semi', count(*) FROM with_orders
+ORDER BY op
+"""
+
+
+_q(
+    "customer_anti_semi_join",
+    spark_sql=_sql_anti_semi_join("spark"),
+    oracle=_sql_anti_semi_join("duck"),
+    doc="Anti-join / semi-join pair (customers with and without orders): "
+        "Spark plans the NOT IN / IN subqueries as LeftAnti and LeftSemi "
+        "hash joins — the set-membership join family the rollup/TPC-H "
+        "queries don't exercise.",
+    tags=("join", "setops"),
+)
+
+
+def _sql_daily_type_pivot(d: str) -> str:
+    types = ("click", "error", "purchase", "signup", "view")
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in types
+    )
+    return f"""
+SELECT {_fmt_day(d, 'ts')} AS day, {cols}
+FROM events GROUP BY {_fmt_day(d, 'ts')} ORDER BY day
+"""
+
+
+_q(
+    "events_daily_type_pivot",
+    spark_sql=_sql_daily_type_pivot("spark"),
+    oracle=_sql_daily_type_pivot("duck"),
+    doc="Pivot (wide conditional aggregation): per-day event-type counts "
+        "as columns — the portable form of DataFrame.pivot(), one shuffle, "
+        "map-side combinable.",
+    tags=("agg",),
+)
+
+
+def _sql_probe_dup_lookup(d: str) -> str:
+    """§3.3 GET /file-content analog: point-probe one document and rank
+    its near-duplicates desc (find_duplicates, metadata.py:196-211 +
+    C7 percent). Probe = the doc with the most pairs (deterministic)."""
+    base = _sql_shingle_jaccard(d)
+    base = base[: base.rfind("ORDER BY")]
+    return f"""
+WITH pairs AS ({base}),
+sides AS (
+  SELECT id_a AS probe_id, id_b AS other_id, jaccard FROM pairs
+  UNION ALL SELECT id_b, id_a, jaccard FROM pairs),
+probe AS (
+  SELECT probe_id FROM sides GROUP BY probe_id
+  ORDER BY count(*) DESC, probe_id LIMIT 1)
+SELECT s.probe_id, s.other_id, round(s.jaccard * 100.0, 2) AS similarity_pct
+FROM sides s JOIN probe p ON s.probe_id = p.probe_id
+ORDER BY s.jaccard DESC, s.other_id LIMIT 5
+"""
+
+
+def _fn_probe_dup_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pairs = _jaccard_pairs_df(spark, sf_dir, JACCARD_PAIR_MIN)
+    sides = pairs.select(
+        F.col("id_a").alias("probe_id"), F.col("id_b").alias("other_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("probe_id"), F.col("id_a").alias("other_id"),
+            "jaccard",
+        )
+    )
+    probe = (
+        sides.groupBy("probe_id").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "probe_id").limit(1).select("probe_id")
+    )
+    return (
+        sides.join(probe, "probe_id")
+        .orderBy(F.desc("jaccard"), "other_id")  # raw-value order, like SQL
+        .limit(5)
+        .select(
+            "probe_id", "other_id",
+            F.round(F.col("jaccard") * 100.0, 2).alias("similarity_pct"),
+        )
+    )
+
+
+_q(
+    "doc_probe_dup_lookup",
+    fn=_fn_probe_dup_lookup,
+    spark_sql=_sql_probe_dup_lookup("spark"),
+    oracle=_sql_probe_dup_lookup("duck"),
+    doc="Point lookup + one-vs-all duplicate probe (the reference's GET "
+        "/file-content flow, routes.py:265-315 + find_duplicates "
+        "metadata.py:196-211): probe one document, rank its near-dups "
+        "desc with C7 percent formatting, limit 5 — a broadcast-probe "
+        "degenerate join over the precomputed pair list.",
+    tags=("dedup", "sort"),
+)
+
+
 N_KM_CENTROIDS = 16
 N_KM_PROBE = 4
 
