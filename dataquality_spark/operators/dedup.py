@@ -238,6 +238,162 @@ def _exact_jaccard_cogroup(pairs: DataFrame, tokens: DataFrame,
     )
 
 
+def dedup_increment(enriched_all: DataFrame, new_ids: DataFrame,
+                    buckets: int = 64) -> DedupResult:
+    """Incremental near-dup detection: flag a NEW slice of clips against
+    the full corpus without recomputing corpus×corpus pairs.
+
+    The production shape for continuously-landing data: the committed
+    enriched table (checkpoint.py) holds every prior slice; each new batch
+    only needs pairs that TOUCH a new row.  Candidate generation therefore
+    joins ``new-side bands × all bands`` — the left side is only the new
+    slice, so the join (and everything downstream) scales with
+    |new| × collision rate, not |corpus|².  Semantics are append-only:
+    a new row that matches an existing representative is flagged as the
+    duplicate; the existing row stays canonical (its historical flag is
+    not rewritten — same asymmetry as the star-edge deviation in
+    :func:`dedup`).
+
+    ``new_ids``: single-column ``clip_id`` frame naming the new slice.
+    Returns a :class:`DedupResult` whose ``flags`` cover ONLY the new
+    rows; pair outputs contain only pairs touching a new row.
+
+    Verified in tests/test_dedup_incremental.py: incremental flags ==
+    full-run flags restricted to the new slice, on a corpus whose planted
+    duplicate clusters straddle the old/new boundary.
+    """
+    new_marked = new_ids.select("clip_id").withColumn("is_new", F.lit(True))
+    groups = cached(exact_groups(enriched_all))
+
+    members = (
+        enriched_all.select("clip_id", "t_hash", "lang", "n_tokens")
+        .withColumn("eligible", _eligible_col())
+        .join(groups, "t_hash")
+        .join(new_marked, "clip_id", "left")
+        .fillna({"is_new": False})
+    )
+    rep_new = (
+        members.filter(F.col("is_new"))
+        .select(F.col("clip_id").alias("rep_id"))
+        .distinct()
+        .withColumn("rep_is_new", F.lit(True))
+    )
+
+    # exact star edges touching a new row (member new, or rep itself new)
+    exact_pairs = (
+        members.join(rep_new, "rep_id", "left")
+        .filter(
+            F.col("eligible") & (F.col("group_size") >= 2)
+            & (F.col("clip_id") != F.col("rep_id"))
+            & (F.col("is_new") | F.coalesce("rep_is_new", F.lit(False)))
+        )
+        .select(
+            F.col("rep_id").alias("clip_1"),
+            F.col("clip_id").alias("clip_2"),
+            F.lit(100.0).alias("metadata_similarity"),
+            F.lit(100.0).alias("similarity"),
+            F.lit(True).alias("is_duplicate"),
+        )
+    )
+
+    feats = (
+        enriched_all.join(
+            groups.select(F.col("rep_id").alias("clip_id")),
+            "clip_id", "left_semi",
+        )
+        .filter(_eligible_col())
+        .select("clip_id", "lang", "tok_hashes", "bow", "bands",
+                "minhash_sig")
+        .join(new_marked, "clip_id", "left")
+        .fillna({"is_new": False})
+    )
+    feats = cached(feats)
+    exploded = feats.select(
+        "clip_id", "lang", "is_new",
+        F.posexplode("bands").alias("band_idx", "band_hash"),
+    )
+    # new-side × all-side band join: output is only pairs touching new
+    a = exploded.filter(F.col("is_new")).alias("a")
+    b = exploded.alias("b")
+    raw_pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.clip_id") != F.col("b.clip_id")),
+    ).select(
+        F.least("a.clip_id", "b.clip_id").alias("id_a"),      # A8 normalize
+        F.greatest("a.clip_id", "b.clip_id").alias("id_b"),
+        F.col("a.band_idx").alias("band_idx"),
+    )
+    cand = (
+        raw_pairs.dropDuplicates(["id_a", "id_b", "band_idx"])  # new×new dedup
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+        .filter(F.col("n_bands") >= MIN_SHARED_BANDS)
+        .select("id_a", "id_b")
+    )
+
+    slim = feats.select("clip_id", "minhash_sig", "bow", "tok_hashes")
+    with_sigs = _attach_both(cand, slim.select("clip_id", "minhash_sig"),
+                             "minhash_sig")
+    survivors = _estimate_pairs(with_sigs).filter(
+        F.col("est_jaccard") >= EST_PREFILTER
+    )
+    with_bows = _attach_both(survivors, slim.select("clip_id", "bow"), "bow")
+    cos_pairs = cached(_cosine_pairs(with_bows))
+    dup_elig = cos_pairs.filter(F.col("cos") >= DUP_COS_MIN).select(
+        "id_a", "id_b", "cos"
+    )
+    exact = _exact_jaccard_cogroup(
+        dup_elig, slim.select("clip_id", "tok_hashes"), buckets
+    )
+    verified_dups = cached(
+        exact.withColumn("gate", F.lit(0.5) + F.lit(0.5) * F.col("jaccard"))
+        .filter(F.col("gate") >= DUP_GATE_MIN)
+        .select(
+            F.col("id_a").alias("clip_1"),
+            F.col("id_b").alias("clip_2"),
+            F.round(F.col("gate") * 100.0, 2).alias("metadata_similarity"),
+            F.round(F.col("cos") * 100.0, 2).alias("similarity"),
+            F.lit(True).alias("is_duplicate"),
+        )
+    )
+
+    near_rep_ids = (
+        verified_dups.select(
+            F.explode(F.array("clip_1", "clip_2")).alias("rep_id")
+        )
+        .distinct()
+        .withColumn("rep_near_dup", F.lit(True))
+    )
+    flags = (
+        members.filter(F.col("is_new"))
+        .join(near_rep_ids, "rep_id", "left")
+        .withColumn(
+            "is_dup",
+            F.col("eligible")
+            & (
+                (F.col("group_size") >= 2)
+                | F.coalesce(F.col("rep_near_dup"), F.lit(False))
+            ),
+        )
+        .withColumn(
+            "dup_of",
+            F.when(
+                F.col("is_dup") & (F.col("clip_id") != F.col("rep_id")),
+                F.col("rep_id"),
+            ),
+        )
+        .select("clip_id", "is_dup", "dup_of")
+    )
+
+    duplicate_pairs = exact_pairs.unionByName(verified_dups).orderBy(
+        F.desc("similarity"), "clip_1", "clip_2"
+    )
+    return DedupResult(flags, duplicate_pairs, duplicate_pairs)
+
+
 def dedup(enriched: DataFrame, buckets: int = 64) -> DedupResult:
     # groups feeds members AND feats; feats feeds the band explode, the
     # sig/bow attach joins, and the cogroup passes — without a persist each
