@@ -106,11 +106,15 @@ def run_checkpointed(
             )
             .collect()
         }
+        total_rows = sum(n for n, _ in stats.values()) or 1
         for b in todo:
             n_rows, n_err = stats.get(b, (0, 0))
             manifest.commit(
                 b, {"n_rows": n_rows, "n_error": n_err,
-                    "wall_sec": round(wall / len(todo), 3)}
+                    # single-pass write: apportion the one wall time by row
+                    # share (an estimate — the pass is not per-batch timed)
+                    "wall_sec": round(wall * n_rows / total_rows, 3),
+                    "run_wall_sec": round(wall, 3)}
             )
             ran.append(b)
             if fail_after_batches is not None and len(ran) >= fail_after_batches:

@@ -27,6 +27,25 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _migrate_legacy_layout(table_dir: str, manifest_path: str) -> None:
+    """Upgrade a checkpoint written by the pre-rename layout
+    (``manifest.json`` + ``batch=<id>`` dirs) in place, so old checkpoints
+    resume instead of silently recomputing — and so the new
+    ``partitionBy("batch_id")`` writer never mixes conflicting partition
+    dir names under one table root (Spark partition discovery rejects
+    that).  Pure directory renames; parquet files carry no partition
+    value, it lives in the dir name."""
+    if not os.path.isdir(table_dir):
+        return
+    for name in os.listdir(table_dir):
+        full = os.path.join(table_dir, name)
+        if name.startswith("batch=") and os.path.isdir(full):
+            os.rename(full, os.path.join(table_dir, "batch_id=" + name[6:]))
+    legacy = os.path.join(table_dir, "manifest.json")
+    if os.path.exists(legacy) and not os.path.exists(manifest_path):
+        os.rename(legacy, manifest_path)
+
+
 class Manifest:
     """Append-only commit log for one logical table (snapshot emulation)."""
 
@@ -36,6 +55,7 @@ class Manifest:
         # so the commit log can live inside the table directory without
         # breaking a whole-directory parquet read.
         self.path = os.path.join(table_dir, "_manifest.json")
+        _migrate_legacy_layout(table_dir, self.path)
 
     def entries(self) -> list[dict]:
         if not os.path.exists(self.path):
@@ -81,22 +101,26 @@ class Manifest:
         return spark.createDataFrame(rows, schema)
 
 
-def append_batch(df: DataFrame, table_dir: str, batch_id: int) -> str:
-    """Write one partition batch under ``table_dir/batch_id=<id>/`` (the
-    ``append()`` analog). Caller commits to the manifest afterwards.
-    Note: the checkpointed pipeline writes ALL its batches in one
-    ``partitionBy("batch_id")`` pass instead (single input scan); this
-    per-batch form remains for incremental appends of new data slices."""
-    path = os.path.join(table_dir, f"batch_id={batch_id}")
-    df.write.mode("overwrite").parquet(path)
-    return path
-
-
 def read_table(spark: SparkSession, table_dir: str, manifest: Manifest) -> DataFrame:
     """Read ONLY manifest-committed batches (uncommitted = invisible,
-    exactly Iceberg's read isolation)."""
+    exactly Iceberg's read isolation).
+
+    A committed batch may legitimately have NO directory: hash bucketing
+    can leave a batch id empty, and ``partitionBy`` writes no dir for an
+    empty partition — the manifest entry (n_rows=0) is still the record
+    that the batch was processed, so missing dirs are skipped, not
+    errors."""
     committed = sorted(manifest.committed_batches())
     if not committed:
         raise ValueError(f"no committed batches under {table_dir}")
-    paths = [os.path.join(table_dir, f"batch_id={b}") for b in committed]
+    paths = [
+        p
+        for b in committed
+        if os.path.exists(p := os.path.join(table_dir, f"batch_id={b}"))
+    ]
+    if not paths:
+        raise ValueError(
+            f"manifest lists batches {committed} but no batch directories "
+            f"exist under {table_dir}"
+        )
     return spark.read.option("basePath", table_dir).parquet(*paths)

@@ -312,9 +312,34 @@ def dedup_increment(enriched_all: DataFrame, new_ids: DataFrame,
         "clip_id", "lang", "is_new",
         F.posexplode("bands").alias("band_idx", "band_hash"),
     )
+    # Same BUCKET_CAP skew defusal as the full path: a hot band bucket in
+    # the corpus would otherwise make the new-side × all-side join emit
+    # |new-in-bucket| × |bucket| rows from one non-splittable key.
+    bucket_w = (
+        exploded.groupBy("band_idx", "band_hash", "lang")
+        .agg(F.count("*").alias("bsize"), F.min("clip_id").alias("leader"))
+    )
+    exploded = exploded.join(bucket_w, ["band_idx", "band_hash", "lang"])
+    small = exploded.filter(F.col("bsize") <= BUCKET_CAP)
+    leaders_new = (
+        exploded.select(F.col("leader").alias("clip_id")).distinct()
+        .join(new_marked, "clip_id", "left_semi")
+        .select(F.col("clip_id").alias("leader"))
+        .withColumn("leader_is_new", F.lit(True))
+    )
+    big_edges = (
+        exploded.filter(
+            (F.col("bsize") > BUCKET_CAP) & (F.col("clip_id") != F.col("leader"))
+        )
+        .join(leaders_new, "leader", "left")
+        .filter(F.col("is_new") | F.coalesce("leader_is_new", F.lit(False)))
+        # leader = min(clip_id) in the bucket -> leader < member
+        .select(F.col("leader").alias("id_a"), F.col("clip_id").alias("id_b"),
+                "band_idx")
+    )
     # new-side × all-side band join: output is only pairs touching new
-    a = exploded.filter(F.col("is_new")).alias("a")
-    b = exploded.alias("b")
+    a = small.filter(F.col("is_new")).alias("a")
+    b = small.alias("b")
     raw_pairs = a.join(
         b,
         (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -327,7 +352,8 @@ def dedup_increment(enriched_all: DataFrame, new_ids: DataFrame,
         F.col("a.band_idx").alias("band_idx"),
     )
     cand = (
-        raw_pairs.dropDuplicates(["id_a", "id_b", "band_idx"])  # new×new dedup
+        raw_pairs.unionByName(big_edges)
+        .dropDuplicates(["id_a", "id_b", "band_idx"])  # new×new double-emit
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands"))
         .filter(F.col("n_bands") >= MIN_SHARED_BANDS)

@@ -50,7 +50,10 @@ MINHASH_B = (1, 7, 13, 19, 25, 31, 37, 43)
 BAND_ROWS = 2          # 4 bands x 2 rows over the 8-slot signature
 JACCARD_PAIR_MIN = 0.1
 MINHASH_VERIFY_MIN = 0.5
-COS_PAIR_MIN = 0.35
+# P5's cosine operating point — the 8x8-bit hyperplane sketch recalls
+# >= 99% of pairs here; low thresholds (e.g. 0.35) are NOT LSH-minable
+# (half the angular space collides) and belong to the IVF/topk path.
+COS_PAIR_MIN = 0.95
 SIMHASH_BITS = 32
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 # Reduced dimension set scored on text-only tables; the remaining 11 of the
@@ -735,6 +738,11 @@ def _sql_cosine_pairs(d: str) -> str:
         explode_b = f"explode(sequence(0, {RHP_BITS - 1})) AS b"
         band_idx = f"b div {RHP_ROWS}"
         vcast = "cast(embedding as array<double>)"
+        jmix = "(CAST(j*9973 + 7 AS BIGINT) * CAST(j*9973 + 7 AS BIGINT))"
+        perturb = (
+            f"transform(v, (x, j) -> x + CASE WHEN "
+            f"pmod({jmix} % {MOD}, 2) = 0 THEN 0.02D ELSE -0.02D END)"
+        )
     else:
         signed = (
             f"CASE WHEN (({mix} % {MOD}) % 2) = 0 "
@@ -747,11 +755,21 @@ def _sql_cosine_pairs(d: str) -> str:
         explode_b = f"unnest(generate_series(0, {RHP_BITS - 1})) AS b"
         band_idx = f"b // {RHP_ROWS}"
         vcast = "embedding::DOUBLE[]"
+        jmix = "(CAST((j-1)*9973 + 7 AS BIGINT) * CAST((j-1)*9973 + 7 AS BIGINT))"
+        perturb = (
+            f"list_transform(generate_series(1, len(v)), j -> v[j] + "
+            f"CASE WHEN (({jmix} % {MOD}) % 2) = 0 "
+            f"THEN CAST(0.02 AS DOUBLE) ELSE CAST(-0.02 AS DOUBLE) END)"
+        )
     # band value = Σ bit_r · 2^(7-r): integer-exact in both dialects
     weight = f"CAST(round(power(2, {RHP_ROWS - 1} - (b % {RHP_ROWS}))) AS BIGINT)"
     cos = _cos(d, "x.v", "y.v")
     return f"""
-WITH e AS (SELECT vec_id, {vcast} AS v FROM embeddings),
+WITH base AS (SELECT vec_id, {vcast} AS v FROM embeddings),
+pert AS (
+  SELECT vec_id + 1000000 AS vec_id, {perturb} AS v
+  FROM base WHERE vec_id % 10 = 0),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
 hp AS (SELECT vec_id, v, {explode_b} FROM e),
 bits AS (
   SELECT vec_id, CAST({band_idx} AS INT) AS band_idx,
@@ -778,10 +796,12 @@ _q(
     oracle=_sql_cosine_pairs("duck"),
     doc="Embedding-cosine near-dup pairs via random-hyperplane LSH bands "
         "(8x8-bit sketch, deterministic integer hyperplanes identical in "
-        "both dialects) + exact cosine verify >= 0.35. No cartesian / "
-        "theta-join anywhere in the plan: candidate generation is a "
-        "banded equi-join, exactly like the MinHash text funnel. Recall-"
-        "only approximation; precision exact (P5 analog).",
+        "both dialects) + exact cosine verify at the P5 operating point "
+        "(>= 0.95, where the sketch recalls >= 99% of pairs; low "
+        "thresholds are not LSH-minable by construction). The driver's "
+        "vectors carry no near-dups, so every 10th vector gets a planted "
+        "deterministic perturbed twin (cos ~0.987) that the funnel must "
+        "find. No cartesian / theta-join anywhere in the plan.",
     tags=("ann", "dedup"),
 )
 
@@ -1537,6 +1557,27 @@ _q(
 )
 
 
+def _sql_history_stats(d: str) -> str:
+    return """
+SELECT count(*) AS total,
+  CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS successful,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+  round(avg(value), 1) AS avg_value
+FROM events
+"""
+
+
+_q(
+    "events_history_stats",
+    spark_sql=_sql_history_stats("spark"),
+    oracle=_sql_history_stats("duck"),
+    doc="A5 scan-history stats: total / successful / failed counts + "
+        "avg rounded to 1 decimal (metadata.py:987-997) over the events "
+        "store — single map-side-combinable aggregation.",
+    tags=("agg",),
+)
+
+
 def _sql_quality_percentiles(d: str) -> str:
     base = _sql_quality_policy(d)
     base = base[: base.rfind("ORDER BY")]
@@ -1808,7 +1849,10 @@ w AS (
   SELECT tf.doc_id, tf.term,
          (1.0 + {ln}(CAST(tf.f AS DOUBLE))) *
          {ln}({_div('nd + 1', 'dfreq + 1')}) AS wt
-  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  -- a term in ALL docs has idf exactly 0: it contributes nothing to any
+  -- dot or norm but would still emit C(nd,2) join rows — prune it
+  WHERE df.dfreq < n.nd),
 nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nn FROM w GROUP BY doc_id),
 dots AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS dot

@@ -172,15 +172,21 @@ def _approvals_fn(
 ) -> Iterator[pd.DataFrame]:
     import json
 
+    # dim -> [status, event_ts_ns]: keeping the event time in state makes
+    # latest-wins hold across ANY arrival order — a late-arriving file in
+    # a later trigger (or a later Arrow chunk of the same trigger) with an
+    # OLDER ts must not overwrite newer state, matching the batch
+    # operators/approvals.py window exactly (ties broken by arrival).
     dims: dict = json.loads(state.get[0]) if state.exists else {}
     for pdf in pdfs:
-        # events within a trigger apply in ts order — latest wins per dim,
-        # exactly the batch operators/approvals.py window semantics
-        for _, row in pdf.sort_values("ts").iterrows():
-            dims[row["dimension"]] = row["status"]
+        for _, row in pdf.iterrows():
+            ts_ns = int(pd.Timestamp(row["ts"]).value)
+            cur = dims.get(row["dimension"])
+            if cur is None or ts_ns >= cur[1]:
+                dims[row["dimension"]] = [row["status"], ts_ns]
     state.update((json.dumps(dims, sort_keys=True),))
-    approvals = sum(1 for s in dims.values() if s == "approved")
-    rejections = sum(1 for s in dims.values() if s == "rejected")
+    approvals = sum(1 for s, _ in dims.values() if s == "approved")
+    rejections = sum(1 for s, _ in dims.values() if s == "rejected")
     yield pd.DataFrame(
         {
             "file_key": [key[0]],

@@ -124,3 +124,23 @@ def test_resume_scans_only_missing_batches(spark, tmp_path):
     # derived column, but the SCAN count stays 1x, not n_batches x)
     assert acc.value <= n
     assert resumed.result.results.count() == n
+
+
+def test_empty_hash_buckets_do_not_poison_the_manifest(spark, tmp_path):
+    """With fewer clips than hash buckets, some batch ids get zero rows;
+    partitionBy writes no dir for them, yet the commit (n_rows=0) must
+    not break read_table on this run or any resume."""
+    clips = clips_df(spark, 12).cache()
+    d = str(tmp_path / "sparse")
+    first = run_checkpointed(clips, DEFAULT_RUN_TS, d, n_batches=16)
+    assert first.result.results.count() == 12
+    lineage = first.lineage.collect()
+    assert {r["batch_id"] for r in lineage} == set(range(16))
+    assert sum(r["n_rows"] for r in lineage) == 12
+    assert any(r["n_rows"] == 0 for r in lineage)  # the empty-bucket case
+
+    # resume over the committed (partly dir-less) table must also work
+    second = run_checkpointed(clips, DEFAULT_RUN_TS, d, n_batches=16)
+    assert not second.batches_run
+    assert second.result.results.count() == 12
+    clips.unpersist()

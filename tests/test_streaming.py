@@ -208,6 +208,9 @@ def test_approvals_running_state_promotes_across_batches(spark, tmp_path):
     drop([("A", "dim6", "approved", 10), ("B", "dim0", "rejected", 11)])
     # batch 3: rejection of an approved dim drops A to 6 -> demoted
     drop([("A", "dim2", "rejected", 20)])
+    # batch 4: LATE arrival with an older ts than batch 3's rejection —
+    # latest-wins by EVENT time, so this must not resurrect dim2
+    drop([("A", "dim2", "approved", 15)])
 
     stream = (
         spark.readStream.schema(ddl)
@@ -222,8 +225,9 @@ def test_approvals_running_state_promotes_across_batches(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("select * from apprst").toPandas()
     a_hist = rows[rows.file_key == "A"].reset_index(drop=True)
-    # 3 triggers touched A -> 3 emissions: 6 -> 7 (promoted) -> 6 (demoted)
-    assert list(a_hist["approvals"]) == [6, 7, 6]
-    assert list(a_hist["promoted"]) == [False, True, False]
+    # 4 triggers touched A: 6 -> 7 (promoted) -> 6 (demoted) -> 6 (late
+    # out-of-order approval ignored by event-time latest-wins)
+    assert list(a_hist["approvals"]) == [6, 7, 6, 6]
+    assert list(a_hist["promoted"]) == [False, True, False, False]
     b = rows[rows.file_key == "B"].iloc[0]
     assert b["rejections"] == 1 and not b["promoted"]
