@@ -1557,6 +1557,168 @@ _q(
 )
 
 
+def _sql_stratified_sample(d: str) -> str:
+    """Deterministic hash-based stratified sampling: the reproducible
+    TABLESAMPLE a training-data pipeline needs (a random sample is not
+    re-runnable; a hash sample is a pure function of the key)."""
+    return """
+WITH s AS (
+  SELECT doc_id, lang,
+         (doc_id * 2654435761) % 1000 AS h,
+         CASE WHEN lang = 'en' THEN 100 ELSE 400 END AS rate_permille
+  FROM documents)
+SELECT doc_id, lang FROM s WHERE h < rate_permille ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_stratified_sample",
+    spark_sql=_sql_stratified_sample("spark"),
+    oracle=_sql_stratified_sample("duck"),
+    doc="Deterministic stratified sampling by integer hash: 10% of "
+        "English docs, 40% of everything else — reproducible (pure "
+        "function of the key, unlike TABLESAMPLE/rand) and pushdown-"
+        "friendly; the per-stratum rate is a broadcastable CASE.",
+    tags=("text", "agg"),
+)
+
+
+def _sql_lang_quota(d: str) -> str:
+    base = _sql_quality_policy(d)
+    base = base[: base.rfind("ORDER BY")]
+    return f"""
+WITH pol AS ({base}),
+j AS (SELECT p.doc_id, doc.lang, p.overall_quality_score
+      FROM pol p JOIN documents doc ON p.doc_id = doc.doc_id),
+r AS (
+  SELECT doc_id, lang, overall_quality_score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY overall_quality_score DESC, doc_id) AS rn
+  FROM j)
+SELECT lang, rn, doc_id, overall_quality_score
+FROM r WHERE rn <= 20 ORDER BY lang, rn
+"""
+
+
+_q(
+    "doc_lang_quota",
+    spark_sql=_sql_lang_quota("spark"),
+    oracle=_sql_lang_quota("duck"),
+    doc="Per-language quality quota: top-20 docs per language by overall "
+        "score (ranking window per stratum) — the data-balancing "
+        "selection step of a multilingual training-set build.",
+    tags=("window", "policy"),
+)
+
+
+def _sql_range_join_bucketed(d: str) -> str:
+    """Range join without a range-join blowup: bucket event times to
+    hours, explode each probe row into its 3 covering buckets, equi-join
+    on (user, bucket), then apply the exact +/-1h predicate — the classic
+    scalable rewrite of |t1 - t2| <= W."""
+    ep = _epoch_us(d, "ts")
+    if d == "spark":
+        hr = f"cast(floor({ep} / 3600000000.0) as bigint)"
+        expl = "explode(array(h - 1, h, h + 1)) AS probe_h"
+    else:
+        hr = f"floor({ep} / 3600000000.0)::BIGINT"
+        expl = "unnest([h - 1, h, h + 1]) AS probe_h"
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, {ep} AS ts_us, {hr} AS h
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, event_id AS click_id, {ep} AS c_ts_us, {hr} AS h
+  FROM events WHERE event_type = 'click'),
+pe AS (SELECT user_id, event_id, ts_us, {expl} FROM p),
+m AS (
+  SELECT pe.event_id, c.click_id, abs(pe.ts_us - c.c_ts_us) AS gap_us
+  FROM pe JOIN c ON pe.user_id = c.user_id AND pe.probe_h = c.h
+  WHERE abs(pe.ts_us - c.c_ts_us) <= 3600000000)
+SELECT event_id, count(*) AS n_clicks_1h, min(gap_us) AS min_gap_us
+FROM m GROUP BY event_id ORDER BY event_id
+"""
+
+
+_q(
+    "events_range_join_bucketed",
+    spark_sql=_sql_range_join_bucketed("spark"),
+    oracle=_sql_range_join_bucketed("duck"),
+    doc="Range join (purchases x clicks within +/-1h per user) via "
+        "time-bucketing: explode the probe side into its 3 covering hour "
+        "buckets, equi-join on (user, bucket), exact predicate after — "
+        "bounded fan-out instead of the quadratic theta-join a naive "
+        "BETWEEN produces.",
+    tags=("join", "window"),
+)
+
+
+def _sql_bpe_token_count(d: str) -> str:
+    """GPT-2-style pre-tokenizer regex (ASCII subset): contractions,
+    letter runs, digit runs, punctuation runs, whitespace."""
+    pat = r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+    if d == "spark":
+        n = f"size(regexp_extract_all(text, '{pat}', 0))"
+        ws = "size(filter(split(text, ' +'), x -> x <> ''))"
+    else:
+        n = f"len(regexp_extract_all(text, '{pat}'))"
+        ws = "len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> ''))"
+    return f"""
+SELECT doc_id, {n} AS n_bpe_tokens, {ws} AS n_ws_tokens,
+  round({_div(n, f'greatest({ws}, 1)')}, 4) AS bpe_per_word
+FROM documents ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_bpe_token_count",
+    spark_sql=_sql_bpe_token_count("spark"),
+    oracle=_sql_bpe_token_count("duck"),
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
+        "(contractions / letter runs / digit runs / punctuation runs) "
+        "counted per document next to whitespace tokens — the tokens-per-"
+        "word ratio is the standard budget estimator for LLM training "
+        "data.",
+    tags=("text",),
+)
+
+
+def _sql_salted_distinct(d: str) -> str:
+    """Two-phase salted distinct-aggregation: exact count(DISTINCT) per
+    key without funneling each key's whole value set through one task —
+    phase 1 dedups (key, salt, value) with the salt spreading a hot key
+    over 8 reducers, phase 2 sums the per-salt distinct counts (sound
+    because value -> salt is a function: no value crosses salts)."""
+    if d == "spark":
+        salt = "pmod(xxhash64(props), 8)"
+    else:
+        salt = "hash(props) % 8"
+    return f"""
+WITH s1 AS (
+  SELECT user_id, {salt} AS salt, count(DISTINCT props) AS c
+  FROM events GROUP BY user_id, {salt}),
+agg AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_distinct_props
+  FROM s1 GROUP BY user_id)
+SELECT user_id, n_distinct_props FROM agg
+ORDER BY n_distinct_props DESC, user_id LIMIT 10
+"""
+
+
+_q(
+    "events_salted_distinct_topk",
+    spark_sql=_sql_salted_distinct("spark"),
+    oracle=_sql_salted_distinct("duck"),
+    doc="Skew-safe exact distinct count per key: salt the value into 8 "
+        "sub-keys (value->salt is a function, so per-salt distincts are "
+        "disjoint and sum exactly), aggregate twice — the explicit form "
+        "of the salting the pipeline applies to duplicate-cluster skew "
+        "(north rule), here for the distinct-agg case partial "
+        "aggregation cannot parallelize.",
+    tags=("agg",),
+)
+
+
 def _sql_history_stats(d: str) -> str:
     return """
 SELECT count(*) AS total,
