@@ -32,10 +32,14 @@ source stream:
 Near-dup LSH is deliberately NOT run per micro-batch: candidate
 generation is a self-join over the full corpus, which streaming cannot
 express incrementally without unbounded state. The deployment pattern is
-the hybrid one the batch engine already supports: stream scores clips on
-arrival; the LSH dedup job runs periodically over the accumulated results
-table (resumable via checkpoint.py) and retro-flags duplicates — same
-split Lambda/batch-refinement layout the papers use for web-scale dedup.
+the hybrid one the batch engine supports CONCRETELY: the stream persists
+the slim dedup features (token hashes, packed MinHash/BoW blobs, band
+hashes — no raw text or audio) alongside each scored row, and the
+periodic batch job runs ``operators.dedup.dedup`` (or, for a new slice
+only, ``dedup_increment``) directly over the accumulated results table
+to retro-flag duplicates — same split Lambda/batch-refinement layout the
+papers use for web-scale dedup. Demonstrated end-to-end in
+tests/test_streaming.py::test_hybrid_stream_scoring_then_batch_dedup.
 """
 
 from __future__ import annotations
@@ -61,6 +65,11 @@ STREAM_RESULT_COLUMNS = [
     "ppl", "pii_hits", "toxic_hits", "is_dup", "scrubbed_transcript",
     "overall_quality_score", "recommended_action", "keep", "t_hash",
     "ingest_ts",
+    # slim dedup features (packed blobs + hashes, no raw text/audio): what
+    # the periodic batch near-dup job consumes from the accumulated
+    # results table — the hybrid pattern made concrete (module docstring;
+    # demonstrated end-to-end in tests/test_streaming.py)
+    "n_tokens", "tok_hashes", "bow", "bands", "minhash_sig",
 ]
 
 

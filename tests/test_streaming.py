@@ -231,3 +231,40 @@ def test_approvals_running_state_promotes_across_batches(spark, tmp_path):
     assert list(a_hist["promoted"]) == [False, True, False, False]
     b = rows[rows.file_key == "B"].iloc[0]
     assert b["rejections"] == 1 and not b["promoted"]
+
+
+def test_hybrid_stream_scoring_then_batch_dedup(spark, tmp_path):
+    """The hybrid pattern end-to-end: the stream scores clips on arrival
+    (is_dup=False, dedup features persisted), then the periodic batch
+    dedup runs over the ACCUMULATED results table and retro-flags —
+    producing exactly the flags a from-scratch batch run computes."""
+    from dataquality_spark.operators.dedup import dedup
+    from dataquality_spark.pipeline import run_pipeline
+
+    inp = str(tmp_path / "hyb_in")
+    out = str(tmp_path / "hyb_out")
+    ckpt = str(tmp_path / "hyb_ckpt")
+    clips = clips_df(spark, 300).cache()
+    clips.where("clip_id < 'clip_000000000150'").coalesce(1).write.parquet(
+        inp, mode="append"
+    )
+    run_scoring_query(spark, inp, out, ckpt, DEFAULT_RUN_TS)
+    clips.where("clip_id >= 'clip_000000000150'").coalesce(1).write.parquet(
+        inp, mode="append"
+    )
+    run_scoring_query(spark, inp, out, ckpt, DEFAULT_RUN_TS)
+
+    accumulated = spark.read.parquet(out)
+    assert accumulated.count() == 300
+
+    # periodic batch job: dedup over the streamed features, no re-enrich
+    flags = dedup(accumulated).flags
+    got = {r["clip_id"]: r["is_dup"] for r in flags.collect()}
+
+    want = {
+        r["clip_id"]: r["is_dup"]
+        for r in run_pipeline(clips, DEFAULT_RUN_TS)
+        .results.select("clip_id", "is_dup").collect()
+    }
+    clips.unpersist()
+    assert got == want
