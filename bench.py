@@ -75,16 +75,22 @@ def main() -> None:
     release_all()
 
     # --- flagship: clips quality-filter pipeline -------------------------
+    # best-of-REPEATS: this virtualized host shows 2-3x wall variance from
+    # hypervisor neighbors (see BENCH.md); best-of converges on the
+    # machine's capability like the scaling harness does.
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     clips = spark.read.parquet(CLIPS_CACHE)
-    t0 = time.time()
-    res = run_pipeline(clips, DEFAULT_RUN_TS, include_evidence=False)
-    _force(res.results)
-    _force(res.duplicate_pairs)
-    _force(res.run_metrics)
-    clip_sec = time.time() - t0
+    clip_sec = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        res = run_pipeline(clips, DEFAULT_RUN_TS, include_evidence=False)
+        _force(res.results)
+        _force(res.duplicate_pairs)
+        _force(res.run_metrics)
+        clip_sec = min(clip_sec, time.time() - t0)
+        release_all()
     timings["clips_pipeline"] = round(clip_sec, 3)
     clips_per_sec = round(N_CLIPS / clip_sec, 1)
-    release_all()
 
     # --- catalog headline queries ---------------------------------------
     for name, q in CATALOG.items():
@@ -106,6 +112,7 @@ def main() -> None:
         "clips_per_sec": clips_per_sec,
         "n_clips": N_CLIPS,
         "cpus": CPUS,
+        "pipeline_repeats": repeats,
     }))
     spark.stop()
 
