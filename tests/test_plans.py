@@ -49,15 +49,25 @@ def test_supplier_part_agg_pushes_dim_filter(spark):
 def test_pipeline_never_shuffles_audio_bytes(spark):
     """The column-pruning discipline that makes the 100 TB design work:
     the binary audio payload is consumed map-side by enrich and must not
-    appear in ANY exchange (shuffle) of the pipeline plan."""
+    appear in ANY exchange (shuffle) of the pipeline plan. Checked
+    against each Exchange operator's full input schema in the formatted
+    explain (the raw tree header only shows partitioning keys)."""
     from dataquality_spark.datagen.clips import DEFAULT_RUN_TS, clips_df
     from dataquality_spark.pipeline import run_pipeline
 
     res = run_pipeline(clips_df(spark, 50), DEFAULT_RUN_TS, partitions=4)
-    plan = _plan(res.results)
-    for chunk in plan.split("Exchange")[1:]:
-        header = chunk.split("\n", 1)[0]
-        assert "bytes" not in header, f"audio bytes entered a shuffle: {header}"
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = res.results._jdf.queryExecution().explainString(mode)
+    exch_inputs = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert exch_inputs, "no Exchange operators found in formatted plan"
+    for inp in exch_inputs:
+        assert not re.search(r"\bbytes#", inp), (
+            f"audio bytes entered a shuffle: {inp[:120]}"
+        )
 
 
 def test_events_top_recent_is_take_ordered(spark):
