@@ -1557,6 +1557,64 @@ _q(
 )
 
 
+def _sql_path_key_ops(d: str) -> str:
+    """The reference's path-keyed scalar operators (F1/F4 filters, C2 ext
+    split, C3 basename, C4 truncation caps, C5 key normalization, C14
+    URL-decode) over deterministic synthesized S3-style keys — these were
+    previously documented as moot for table input; they are trivially
+    expressible, so express them. Spark runs the real url_decode; DuckDB
+    (no url_decode at this version) verifies via an equivalent
+    replace-chain over the controlled escape set."""
+    if d == "spark":
+        ext = "lower(element_at(split(key, '\\\\.'), -1))"
+        base = "element_at(split(key, '/'), -1)"
+        dec = "url_decode(key)"
+    else:
+        ext = "lower(string_split(key, '.')[-1])"
+        base = "string_split(key, '/')[-1]"
+        dec = "replace(replace(key, '%20', ' '), '%2F', '/')"
+    flags = "" if d == "spark" else ", 'g'"
+    norm = f"lower(regexp_replace(key, '[^A-Za-z0-9]+', '_'{flags}))"
+    return f"""
+WITH k AS (
+  SELECT doc_id, text,
+    CASE WHEN doc_id % 10 = 0
+           THEN 'archive/batch_' || CAST(doc_id AS STRING) || '/'
+         WHEN doc_id % 3 = 0
+           THEN 'results/My%20Doc%2F' || CAST(doc_id AS STRING) || '.JSON'
+         WHEN doc_id % 3 = 1
+           THEN 'out/Quality_Check_Results_' || CAST(doc_id AS STRING) || '.json'
+         ELSE 'docs/Sub.Dir/Report-' || CAST(doc_id AS STRING) || '.PDF'
+    END AS key
+  FROM documents),
+f AS (SELECT * FROM k WHERE key NOT LIKE '%/')
+SELECT doc_id, key,
+  {ext} AS ext,
+  {base} AS basename,
+  {norm} AS normalized_key,
+  {dec} AS decoded_key,
+  substring(text, 1, 100) AS text_capped,
+  CAST(length(text) > 100 AS INT) AS was_truncated,
+  CAST(lower(key) LIKE '%.json'
+       AND lower(key) NOT LIKE '%quality_check_results%' AS INT) AS is_result_json
+FROM f ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_path_key_ops",
+    spark_sql=_sql_path_key_ops("spark"),
+    oracle=_sql_path_key_ops("duck"),
+    doc="Path-keyed scalar operator family over synthesized S3-style "
+        "keys: F1 folder filter (trailing slash), F4 result-JSON filter "
+        "(endswith .json, not quality_check_results — metadata.py:805-"
+        "807), C2 extension split, C3 basename, C4 content truncation cap "
+        "(bedrock.py:261), C5 key normalization, C14 URL-decode "
+        "(s3.py:220).",
+    tags=("text",),
+)
+
+
 def _sql_stratified_sample(d: str) -> str:
     """Deterministic hash-based stratified sampling: the reproducible
     TABLESAMPLE a training-data pipeline needs (a random sample is not
