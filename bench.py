@@ -78,7 +78,7 @@ def main() -> None:
     # best-of-REPEATS: this virtualized host shows 2-3x wall variance from
     # hypervisor neighbors (see BENCH.md); best-of converges on the
     # machine's capability like the scaling harness does.
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     clips = spark.read.parquet(CLIPS_CACHE)
     clip_sec = float("inf")
     for _ in range(repeats):

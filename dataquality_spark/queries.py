@@ -1566,11 +1566,11 @@ def _sql_path_key_ops(d: str) -> str:
     (no url_decode at this version) verifies via an equivalent
     replace-chain over the controlled escape set."""
     if d == "spark":
-        ext = "lower(element_at(split(key, '\\\\.'), -1))"
+        ext = "element_at(split(key, '\\\\.'), -1)"
         base = "element_at(split(key, '/'), -1)"
         dec = "url_decode(key)"
     else:
-        ext = "lower(string_split(key, '.')[-1])"
+        ext = "string_split(key, '.')[-1]"
         base = "string_split(key, '/')[-1]"
         dec = "replace(replace(key, '%20', ' '), '%2F', '/')"
     flags = "" if d == "spark" else ", 'g'"
@@ -1583,7 +1583,7 @@ WITH k AS (
          WHEN doc_id % 3 = 0
            THEN 'results/My%20Doc%2F' || CAST(doc_id AS STRING) || '.JSON'
          WHEN doc_id % 3 = 1
-           THEN 'out/Quality_Check_Results_' || CAST(doc_id AS STRING) || '.json'
+           THEN 'out/quality_check_results_' || CAST(doc_id AS STRING) || '.json'
          ELSE 'docs/Sub.Dir/Report-' || CAST(doc_id AS STRING) || '.PDF'
     END AS key
   FROM documents),
@@ -1593,10 +1593,10 @@ SELECT doc_id, key,
   {base} AS basename,
   {norm} AS normalized_key,
   {dec} AS decoded_key,
-  substring(text, 1, 100) AS text_capped,
-  CAST(length(text) > 100 AS INT) AS was_truncated,
-  CAST(lower(key) LIKE '%.json'
-       AND lower(key) NOT LIKE '%quality_check_results%' AS INT) AS is_result_json
+  substring(text, 1, 10000) AS text_capped,
+  CAST(length(text) > 10000 AS INT) AS was_truncated,
+  CAST(key LIKE '%.json'
+       AND key NOT LIKE '%quality_check_results%' AS INT) AS is_result_json
 FROM f ORDER BY doc_id
 """
 
@@ -1606,11 +1606,13 @@ _q(
     spark_sql=_sql_path_key_ops("spark"),
     oracle=_sql_path_key_ops("duck"),
     doc="Path-keyed scalar operator family over synthesized S3-style "
-        "keys: F1 folder filter (trailing slash), F4 result-JSON filter "
-        "(endswith .json, not quality_check_results — metadata.py:805-"
-        "807), C2 extension split, C3 basename, C4 content truncation cap "
-        "(bedrock.py:261), C5 key normalization, C14 URL-decode "
-        "(s3.py:220).",
+        "keys, with the reference's EXACT case semantics: F1 folder "
+        "filter (trailing slash), F4 result-JSON filter (case-sensitive "
+        "endswith('.json') and 'quality_check_results' not-in — "
+        "metadata.py:805-807, so an uppercase .JSON key is NOT a result "
+        "file), C2 extension split (raw case, metadata.py:259), C3 "
+        "basename, C4 content[:10000] truncation cap (bedrock.py:261), "
+        "C5 key normalization, C14 URL-decode (s3.py:220).",
     tags=("text",),
 )
 
@@ -1713,12 +1715,16 @@ _q(
 
 def _sql_bpe_token_count(d: str) -> str:
     """GPT-2-style pre-tokenizer regex (ASCII subset): contractions,
-    letter runs, digit runs, punctuation runs, whitespace."""
-    pat = r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+    letter runs, digit runs, punctuation runs. NB Spark string literals
+    unescape backslashes ('\\s' in the literal reaches the regex engine
+    as plain 's'), so the Spark side must double-escape — same convention
+    as the '\\\\W+' tokenizer."""
     if d == "spark":
+        pat = r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
         n = f"size(regexp_extract_all(text, '{pat}', 0))"
         ws = "size(filter(split(text, ' +'), x -> x <> ''))"
     else:
+        pat = r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
         n = f"len(regexp_extract_all(text, '{pat}'))"
         ws = "len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> ''))"
     return f"""

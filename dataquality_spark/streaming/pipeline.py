@@ -68,7 +68,12 @@ STREAM_RESULT_COLUMNS = [
     # slim dedup features (packed blobs + hashes, no raw text/audio): what
     # the periodic batch near-dup job consumes from the accumulated
     # results table — the hybrid pattern made concrete (module docstring;
-    # demonstrated end-to-end in tests/test_streaming.py)
+    # demonstrated end-to-end in tests/test_streaming.py).
+    # SCHEMA EVOLUTION NOTE: sinks populated before these columns existed
+    # must be read with spark.read.option("mergeSchema", "true") and the
+    # old rows backfilled (or dedup'd from a fresh sink) — parquet schema
+    # inference from a file subset would otherwise surface the feature
+    # columns as missing/null for pre-upgrade rows.
     "n_tokens", "tok_hashes", "bow", "bands", "minhash_sig",
 ]
 

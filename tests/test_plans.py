@@ -55,16 +55,13 @@ def test_pipeline_never_shuffles_audio_bytes(spark):
     from dataquality_spark.datagen.clips import DEFAULT_RUN_TS, clips_df
     from dataquality_spark.pipeline import run_pipeline
 
+    from dataquality_spark.plan_utils import exchange_inputs, formatted_plan
+
     res = run_pipeline(clips_df(spark, 50), DEFAULT_RUN_TS, partitions=4)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    plan = res.results._jdf.queryExecution().explainString(mode)
-    exch_inputs = re.findall(
-        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
-    )
-    assert exch_inputs, "no Exchange operators found in formatted plan"
-    for inp in exch_inputs:
+    plan = formatted_plan(res.results, execute=True)
+    inputs = exchange_inputs(plan)
+    assert inputs, "no Exchange operators found in formatted plan"
+    for inp in inputs:
         assert not re.search(r"\bbytes#", inp), (
             f"audio bytes entered a shuffle: {inp[:120]}"
         )
