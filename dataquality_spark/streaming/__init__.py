@@ -14,6 +14,7 @@ from .pipeline import (
     read_clip_stream,
     run_scoring_query,
     score_clips,
+    session_quality_stats,
     windowed_quality_trend,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "dedup_stream",
     "windowed_quality_trend",
     "lang_running_totals",
+    "session_quality_stats",
     "run_scoring_query",
 ]

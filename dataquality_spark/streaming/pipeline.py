@@ -175,6 +175,31 @@ def lang_running_totals(scored: DataFrame) -> DataFrame:
     )
 
 
+def session_quality_stats(
+    scored: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (dynamic-gap): clips group into sessions per
+    language, a session closing once no clip arrives within ``gap``.
+    The streaming counterpart of the batch ``events_sessionization``
+    catalog query — there the gap boundary is a lag() window; here Spark's
+    ``session_window`` maintains and merges window state incrementally,
+    emitting a session exactly once when the watermark passes its end."""
+    return (
+        scored.withWatermark("ingest_ts", watermark)
+        .groupBy(F.session_window("ingest_ts", gap).alias("w"), F.col("lang"))
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .select(
+            "lang",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_clips", "n_keep",
+        )
+    )
+
+
 _APPR_STATE_SCHEMA = "dims_json string"
 _APPR_OUT_SCHEMA = (
     "file_key string, approvals long, rejections long, promoted boolean"

@@ -268,3 +268,43 @@ def test_hybrid_stream_scoring_then_batch_dedup(spark, tmp_path):
     }
     clips.unpersist()
     assert got == want
+
+
+def test_session_window_quality_stats(spark, tmp_path):
+    """Native session_window aggregation: clips arriving within the gap
+    merge into one session; a quiet period closes it (append mode emits
+    each closed session exactly once)."""
+    from dataquality_spark.streaming import session_quality_stats
+
+    inp = str(tmp_path / "sess_in")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    # two bursts 2h apart -> two sessions; watermark far past both
+    offs = [0, 5, 10, 120, 125, 1500]
+    rows = [
+        ("c%03d" % i, None, 16000, 1000, "pcm_s16le", "hello world test",
+         base + dt.timedelta(minutes=m))
+        for i, m in enumerate(offs)
+    ]
+    spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string, transcript string, ingest_ts timestamp"
+    ).coalesce(1).write.parquet(inp)
+
+    stream = read_clip_stream(spark, inp)
+    stats = session_quality_stats(
+        score_clips(stream, DEFAULT_RUN_TS), gap="30 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        stats.writeStream.format("memory").queryName("sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "select * from sess order by session_start"
+    ).toPandas()
+    # sessions at [0,40), [120,155) closed; the 1500 one is still open
+    assert list(got["n_clips"]) == [3, 2]
+    assert got["session_start"].iloc[0] == base
+    assert got["session_end"].iloc[0] == base + dt.timedelta(minutes=40)
+    assert got["session_start"].iloc[1] == base + dt.timedelta(minutes=120)
