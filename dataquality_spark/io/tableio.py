@@ -101,6 +101,51 @@ class Manifest:
         return spark.createDataFrame(rows, schema)
 
 
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: Manifest,
+    files_per_batch: int = 1,
+) -> dict[int, tuple[int, int]]:
+    """Small-files compaction: rewrite each committed batch directory into
+    ``files_per_batch`` parquet files (the Iceberg ``rewrite_data_files``
+    analog for this seam). Incremental checkpointed runs append small
+    files per batch; a long-lived table accumulates thousands, and scan
+    planning cost grows with file count, not data size.
+
+    OFFLINE maintenance: assumes no concurrent reader/writer of the table
+    (production Iceberg does this as a transactional snapshot commit; the
+    sandbox seam swaps directories with a brief rename window). Returns
+    {batch_id: (files_before, files_after)}. Row data, the manifest, and
+    resume behavior are unchanged — verified in tests/test_compaction.py.
+    """
+    import shutil
+
+    stats: dict[int, tuple[int, int]] = {}
+    for b in sorted(manifest.committed_batches()):
+        path = os.path.join(table_dir, f"batch_id={b}")
+        if not os.path.isdir(path):  # legitimately empty batch
+            continue
+        before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if len(before) <= files_per_batch:
+            stats[b] = (len(before), len(before))
+            continue
+        tmp = os.path.join(table_dir, f".compact-{b}.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.parquet(path).coalesce(files_per_batch).write.parquet(tmp)
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        stats[b] = (len(before), len(after))
+    # drop Spark's cached file listings for the rewritten directories —
+    # stale entries would point readers at the deleted pre-compaction files
+    spark.catalog.refreshByPath(table_dir)
+    return stats
+
+
 def read_table(spark: SparkSession, table_dir: str, manifest: Manifest) -> DataFrame:
     """Read ONLY manifest-committed batches (uncommitted = invisible,
     exactly Iceberg's read isolation).
