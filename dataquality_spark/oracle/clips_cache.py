@@ -194,9 +194,52 @@ def ensure_media() -> str:
     return path
 
 
+DOC_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+def doc_models_path() -> str:
+    return os.path.join(CACHE_DIR, f"doc_models_{VERSION}_sf001.parquet")
+
+
+def ensure_doc_models() -> str:
+    """Run the REAL scorer models (hashed-char-trigram langid NB +
+    interpolated-backoff char-LM perplexity) locally over the driver's
+    sf0.01 documents table and persist their outputs — the oracle input
+    for doc_model_scores, which runs the same broadcast models
+    distributed. Unlike doc_langid_vote / doc_char_bigram_ppl (their
+    SQL-expressible stand-ins), this checks the actual model path."""
+    path = doc_models_path()
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..functions.langid import get_model as get_langid
+    from ..functions.perplexity import get_model as get_charlm
+
+    docs = pq.read_table(
+        os.path.join(DOC_SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).to_pandas()
+    texts = docs["text"].tolist()
+    langs, confs = get_langid().predict_batch(texts)
+    ppl = get_charlm().perplexity_batch(texts)
+    out = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].values,
+            "lang_pred": langs,
+            "lang_conf": confs,
+            "ppl": ppl,
+        }
+    )
+    _atomic_write(out, path)
+    return path
+
+
 def ensure_all() -> None:
     """Materialize every oracle input (no-op when cached)."""
     ensure_enriched(N_LABELS)
     ensure_enriched(N_PAIRS)
     ensure_invariants(N_INVARIANTS)
     ensure_media()
+    ensure_doc_models()

@@ -2136,6 +2136,58 @@ _q(
 )
 
 
+def _fn_doc_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL scorer models over the documents table, distributed:
+    broadcast the langid NB + char-LM, score in one Arrow-batched pass.
+    Oracle: the same models run locally (oracle/clips_cache.py), so this
+    checks the broadcast/Arrow model path bit-for-bit — the stronger
+    sibling of the SQL stand-ins doc_langid_vote / doc_char_bigram_ppl."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .functions.langid import get_model as get_langid
+    from .functions.perplexity import get_model as get_charlm
+    from .oracle import clips_cache
+
+    clips_cache.ensure_doc_models()
+    _register(spark, sf_dir)
+    bc = spark.sparkContext.broadcast((get_langid(), get_charlm()))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        langid_model, char_lm = bc.value
+        for pdf in batches:
+            texts = pdf["text"].tolist()
+            langs, confs = langid_model.predict_batch(texts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "lang_pred": langs,
+                    "lang_conf": confs,
+                    "ppl": char_lm.perplexity_batch(texts),
+                }
+            )
+
+    docs = spark.table("documents").select("doc_id", "text")
+    out = docs.mapInPandas(
+        score, schema="doc_id bigint, lang_pred string, lang_conf double, ppl double"
+    )
+    return out.select(
+        "doc_id", "lang_pred",
+        F.round("lang_conf", 6).alias("lang_conf"),
+        F.round("ppl", 4).alias("ppl"),
+    ).orderBy("doc_id")
+
+
+def _duck_doc_models_oracle(path: str) -> str:
+    return f"""
+SELECT doc_id, lang_pred, round(lang_conf, 6) AS lang_conf,
+       round(ppl, 4) AS ppl
+FROM read_parquet('{path}') ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------- clips (with oracle) -
 #
 # The clips queries run on DETERMINISTIC generated data, so their DuckDB
@@ -2307,9 +2359,23 @@ from .oracle.clips_cache import (  # noqa: E402  (paths baked into oracle SQL)
     N_INVARIANTS,
     N_LABELS,
     N_PAIRS,
+    doc_models_path,
     enriched_path,
     invariants_path,
     media_path,
+)
+
+_q(
+    "doc_model_scores",
+    fn=_fn_doc_model_scores,
+    oracle=_duck_doc_models_oracle(doc_models_path()),
+    doc="The REAL langid (hashed-char-trigram NB, broadcast weights) and "
+        "perplexity (interpolated-backoff char LM, broadcast count "
+        "tables) models over the documents table in one Arrow-batched "
+        "pass, oracle-checked against a local run of the same models — "
+        "covers the actual model path the clips pipeline uses, beyond "
+        "the SQL-expressible stand-ins.",
+    tags=("text", "clips"),
 )
 
 _q(
