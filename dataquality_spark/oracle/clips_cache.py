@@ -44,6 +44,9 @@ N_PAIRS = 2000       # clips_duplicate_pairs corpus size
 N_INVARIANTS = 1000  # clips_audio_invariants corpus size
 N_MEDIA_CLIPS = 300  # media_feature_extract: audio rows
 N_MEDIA_BLOBS = 200  # media_feature_extract: image/video rows
+N_SPECTRAL = 800     # clips_spectral_features corpus size
+N_VAD = 900          # clips_vad_segments corpus size
+N_FP = 500           # clips_fingerprint_dups originals (x2 with copies)
 
 
 def enriched_path(n: int) -> str:
@@ -194,6 +197,188 @@ def ensure_media() -> str:
     return path
 
 
+# ---------------------------------------------------------- audio features
+
+def spectral_path(n: int) -> str:
+    return os.path.join(CACHE_DIR, f"spectral_{VERSION}_n{n}.parquet")
+
+
+def vad_path(n: int) -> str:
+    return os.path.join(CACHE_DIR, f"vad_{VERSION}_n{n}.parquet")
+
+
+def fp_pairs_path(n: int) -> str:
+    return os.path.join(CACHE_DIR, f"fp_pairs_{VERSION}_n{n}.parquet")
+
+
+_SPECTRAL_COLS = [
+    "clip_id", "decode_ok", "n_samples", "rms_db", "zcr", "dominant_hz",
+    "centroid_hz", "rolloff85_hz", "flatness", "dominant_hz_8k", "tone_match",
+]
+
+
+def spectral_row(clip_id: str, raw: bytes) -> tuple:
+    """Per-clip spectral descriptors + the planted-tone invariant.
+
+    tone_match asserts the measured dominant rFFT bin equals the planted
+    tone (110 + 3*(i%200) Hz, datagen/clips.py:reference_waveform) to
+    within one bin at BOTH the native 16 kHz and after a linear resample
+    to 8 kHz — i.e. the whole decode -> FFT -> resample path is verified
+    against index arithmetic, not against itself.  Decode failures emit
+    zeros (the invariants-row convention).  Shared verbatim by the Spark
+    executors and the local oracle mirror."""
+    import numpy as np
+
+    from ..datagen.clips import SR
+    from ..functions import audiofeat as af
+    from ..functions.audio import decode_wav_pcm16
+
+    idx = int(clip_id.split("_")[1])
+    try:
+        dec = decode_wav_pcm16(bytes(raw))
+    except ValueError:
+        return (clip_id, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0)
+    x = dec.pcm.astype(np.float64) / 32767.0
+    sf = af.spectral_features(x, dec.sr_hz)
+    x8 = af.resample_linear(x, dec.sr_hz, 8000)
+    s8 = af.spectral_features(x8, 8000)
+    planted = 110.0 + 3.0 * (idx % 200)
+    bin16 = dec.sr_hz / max(sf["n_samples"], 1)
+    bin8 = 8000.0 / max(s8["n_samples"], 1)
+    tone_match = int(
+        abs(sf["dominant_hz"] - planted) <= bin16
+        and abs(s8["dominant_hz"] - planted) <= bin8
+    )
+    return (
+        clip_id, 1, sf["n_samples"], sf["rms_db"], sf["zcr"],
+        sf["dominant_hz"], sf["centroid_hz"], sf["rolloff85_hz"],
+        sf["flatness"], s8["dominant_hz"], tone_match,
+    )
+
+
+def ensure_spectral(n: int) -> str:
+    path = spectral_path(n)
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from ..datagen.clips import row_for
+
+    rows = []
+    for i in range(n):
+        r = row_for(i)
+        rows.append(spectral_row(r["clip_id"], r["bytes"]))
+    _atomic_write(pd.DataFrame(rows, columns=_SPECTRAL_COLS), path)
+    return path
+
+
+_VAD_COLS = [
+    "clip_id", "decode_ok", "n_frames", "speech_ratio", "n_segments",
+    "longest_speech_ms",
+]
+
+
+def vad_row(clip_id: str, raw: bytes) -> tuple:
+    """Energy-VAD summary with a planted silence gap: clips with index
+    i % 3 == 0 get samples [0.4n, 0.6n) zeroed after decode, so the
+    expected segment count is index-derivable (0 silent / 2 gapped / 1
+    otherwise) — the oracle checks the segmenter against arithmetic, not
+    against itself.  Shared verbatim by executors and the oracle mirror."""
+    import numpy as np
+
+    from ..functions import audiofeat as af
+    from ..functions.audio import decode_wav_pcm16
+
+    idx = int(clip_id.split("_")[1])
+    try:
+        dec = decode_wav_pcm16(bytes(raw))
+    except ValueError:
+        return (clip_id, 0, 0, 0.0, 0, 0.0)
+    x = dec.pcm.astype(np.float64) / 32767.0
+    if idx % 3 == 0:
+        x = x.copy()
+        x[int(0.4 * x.size):int(0.6 * x.size)] = 0.0
+    v = af.vad_stats(x, dec.sr_hz)
+    return (
+        clip_id, 1, v["n_frames"], v["speech_ratio"], v["n_segments"],
+        v["longest_speech_ms"],
+    )
+
+
+def ensure_vad(n: int) -> str:
+    path = vad_path(n)
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from ..datagen.clips import row_for
+
+    rows = []
+    for i in range(n):
+        r = row_for(i)
+        rows.append(vad_row(r["clip_id"], r["bytes"]))
+    _atomic_write(pd.DataFrame(rows, columns=_VAD_COLS), path)
+    return path
+
+
+def scaled_pcm16(pcm) -> "np.ndarray":
+    """The deterministic near-dup audio copy: 0.7x gain, requantized to
+    PCM16.  Band-energy sign bits are amplitude-invariant, so the copy's
+    fingerprint differs from the original's only by rare quantization-
+    noise bit flips (measured max hamming 0.004 vs the 0.15 verify
+    threshold).  Shared by the Spark corpus builder and the oracle."""
+    import numpy as np
+
+    return np.clip(
+        np.round(pcm.astype(np.float64) * 0.7), -32768, 32767
+    ).astype(np.int16)
+
+
+def fp_pair_row(clip_id: str, raw: bytes) -> tuple:
+    """(clip_1, clip_2, hamming, eligible) for one clip index: the
+    original vs its scaled requantized copy.  hamming is the exact
+    fraction of differing fingerprint bits — integer popcount over the
+    xor'd words divided by 16*n_words, bit-identical to the Spark-side
+    native `aggregate(zip_with(...bit_count(x ^ y)...))` expression."""
+    import numpy as np
+
+    from ..functions import audiofeat as af
+    from ..functions.audio import decode_wav_pcm16
+
+    suffix = clip_id.split("_")[1]
+    try:
+        dec = decode_wav_pcm16(bytes(raw))
+    except ValueError:
+        return (clip_id, f"dupc_{suffix}", 0.0, 0)
+    x = dec.pcm.astype(np.float64) / 32767.0
+    voiced = float(np.sqrt(np.mean(x * x))) > af.VAD_RMS_THRESH if x.size else False
+    if not voiced:
+        return (clip_id, f"dupc_{suffix}", 0.0, 0)
+    xs = scaled_pcm16(dec.pcm).astype(np.float64) / 32767.0
+    fa = af.band_fingerprint(x, dec.sr_hz)
+    fb = af.band_fingerprint(xs, dec.sr_hz)
+    return (clip_id, f"dupc_{suffix}", af.hamming_frac(fa, fb), 1)
+
+
+def ensure_fp_pairs(n: int) -> str:
+    path = fp_pairs_path(n)
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from ..datagen.clips import row_for
+
+    rows = []
+    for i in range(n):
+        r = row_for(i)
+        rows.append(fp_pair_row(r["clip_id"], r["bytes"]))
+    _atomic_write(
+        pd.DataFrame(rows, columns=["clip_1", "clip_2", "hamming", "eligible"]),
+        path,
+    )
+    return path
+
+
 DOC_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 
 
@@ -243,3 +428,6 @@ def ensure_all() -> None:
     ensure_invariants(N_INVARIANTS)
     ensure_media()
     ensure_doc_models()
+    ensure_spectral(N_SPECTRAL)
+    ensure_vad(N_VAD)
+    ensure_fp_pairs(N_FP)

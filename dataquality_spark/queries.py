@@ -2355,14 +2355,133 @@ def _clips_pipeline_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+# --------------------------------------------------------------------------
+# Training-data hygiene: decontamination + repetition signals
+# --------------------------------------------------------------------------
+
+DECON_K = 8          # n-gram order for eval-overlap decontamination
+DECON_EVAL_MOD = 29  # doc_id % MOD == 0 -> benchmark/eval member
+
+
+def _kgram_hashes(d: str, ths: str, k: int) -> str:
+    """Distinct k-gram hashes folded over a token-hash array (the 3-gram
+    combine in _shingle_hashes generalized to arbitrary k via a fold)."""
+    if d == "spark":
+        comb = f"aggregate(slice({ths}, i, {k}), 0L, (a, h) -> (a * 1000003 + h) % {MOD})"
+        inner = f"transform(sequence(1, size({ths}) - {k - 1}), i -> {comb})"
+        return f"case when size({ths}) < {k} then array() else array_distinct({inner}) end"
+    comb = (
+        f"list_reduce(list_prepend(0::BIGINT, list_slice({ths}, i, i + {k - 1})), "
+        f"(a, h) -> (a * 1000003 + h) % {MOD})"
+    )
+    inner = f"list_transform(generate_series(1, (len({ths}) - {k - 1})::BIGINT), i -> {comb})"
+    return f"case when len({ths}) < {k} then [] else list_distinct({inner}) end"
+
+
+def _sql_decontamination(d: str) -> str:
+    """Benchmark decontamination (the GPT-3/Llama training-hygiene pass):
+    flag any training doc sharing a long n-gram with the eval set.  Eval
+    membership is deterministic (doc_id % 29 == 0); overlap is an 8-token
+    hashed-shingle semi-join.  100 TB shape: the eval shingle set is tiny
+    and broadcast, so the scan-side work is a map-only probe — no shuffle
+    of the corpus; per-doc counts are map-side-combinable."""
+    if d == "spark":
+        ths = f"transform(toks, t -> {_polyhash('spark', 't')})"
+    else:
+        ths = f"list_transform(toks, t -> {_polyhash('duck', 't')})"
+    return f"""
+WITH tok AS ({_sql_doc_tokens(d)}),
+th AS (SELECT doc_id, {ths} AS ths FROM tok),
+sh AS (SELECT doc_id, {_explode(d, _kgram_hashes(d, 'ths', DECON_K), 'h')} FROM th),
+ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id, h FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+sz AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id)
+SELECT sz.doc_id, n_shingles,
+  coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+  CASE WHEN coalesce(n_hits, CAST(0 AS BIGINT)) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
+ORDER BY sz.doc_id
+"""
+
+
+_q(
+    "doc_decontamination",
+    spark_sql=_sql_decontamination("spark"),
+    oracle=_sql_decontamination("duck"),
+    doc="Eval-set decontamination: 8-token hashed-shingle overlap between "
+        "each training doc and the deterministic eval subset (doc_id % 29 "
+        "== 0). The eval shingle set broadcasts; the corpus never "
+        "shuffles. Standard LLM training hygiene (GPT-3 appendix C shape).",
+    tags=("documents", "hygiene"),
+)
+
+
+REP_THRESH = 0.08  # repetitive if top-bigram or dup-bigram fraction exceeds
+
+
+def _sql_repetition_signals(d: str) -> str:
+    """Gopher-style within-document repetition: most-frequent-word
+    fraction, top-bigram fraction, duplicate-bigram fraction.  Explode ->
+    groupBy shape (map-side combinable partial aggregation), no windows,
+    no per-doc quadratic array scans."""
+    if d == "spark":
+        bigrams = "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2)))"
+        tot = "sum(c)"
+    else:
+        bigrams = (
+            "list_transform(generate_series(1, (len(toks) - 1)::BIGINT), "
+            "i -> toks[i] || ' ' || toks[i + 1])"
+        )
+        tot = "CAST(sum(c) AS BIGINT)"  # DuckDB sum(BIGINT) -> HUGEINT
+    sz = _arr_size(d, "toks")
+    return f"""
+WITH tok AS ({_sql_doc_tokens(d)}),
+big AS (SELECT doc_id, {_explode(d, bigrams, 'b')} FROM tok WHERE {sz} >= 2),
+bc AS (SELECT doc_id, b, count(*) AS c FROM big GROUP BY doc_id, b),
+bagg AS (SELECT doc_id, max(c) AS top_b, {tot} AS tot_b, count(*) AS nd_b
+         FROM bc GROUP BY doc_id),
+w AS (SELECT doc_id, {_explode(d, 'toks', 't')} FROM tok),
+wc AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t),
+wagg AS (SELECT doc_id, max(c) AS top_w, {tot} AS tot_w FROM wc GROUP BY doc_id)
+SELECT b.doc_id,
+  round({_div('top_w', 'tot_w')}, 4) AS max_word_frac,
+  round({_div('top_b', 'tot_b')}, 4) AS top_bigram_frac,
+  round(1.0 - {_div('nd_b', 'tot_b')}, 4) AS dup_bigram_frac,
+  CASE WHEN {_div('top_b', 'tot_b')} > {REP_THRESH}
+         OR (1.0 - {_div('nd_b', 'tot_b')}) > {REP_THRESH}
+       THEN 1 ELSE 0 END AS repetitive
+FROM bagg b JOIN wagg w ON b.doc_id = w.doc_id
+ORDER BY b.doc_id
+"""
+
+
+_q(
+    "doc_repetition_signals",
+    spark_sql=_sql_repetition_signals("spark"),
+    oracle=_sql_repetition_signals("duck"),
+    doc="Within-document repetition quality signals (Gopher rules shape): "
+        "max-word fraction, top-bigram fraction, duplicate-bigram "
+        "fraction, plus the repetitive flag at the 0.08 operating point. "
+        "Pure explode->groupBy — map-side combinable, no windows.",
+    tags=("documents", "quality"),
+)
+
+
 from .oracle.clips_cache import (  # noqa: E402  (paths baked into oracle SQL)
+    N_FP,
     N_INVARIANTS,
     N_LABELS,
     N_PAIRS,
+    N_SPECTRAL,
+    N_VAD,
     doc_models_path,
     enriched_path,
+    fp_pairs_path,
     invariants_path,
     media_path,
+    spectral_path,
+    vad_path,
 )
 
 _q(
@@ -2566,6 +2685,265 @@ _q(
         "same features + media-id-derived expectations; also golden-tested "
         "in tests/test_multimodal.py.",
     tags=("multimodal",),
+)
+
+
+def _clips_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-level spectral descriptors distributed over executors:
+    decode PCM, whole-signal rFFT features (centroid/rolloff/flatness/
+    dominant bin), plus a 16k->8k linear-resample cross-check.  The
+    per-row arithmetic is the shared oracle/clips_cache.spectral_row
+    helper; the tone_match invariant (measured dominant bin == planted
+    110+3*(i%200) Hz tone at BOTH rates) is re-derived by the oracle from
+    index arithmetic, so the FFT/resample path is checked against an
+    analytic expectation, not against itself."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .oracle import clips_cache
+    from .oracle.clips_cache import _SPECTRAL_COLS, spectral_row
+
+    clips_cache.ensure_spectral(clips_cache.N_SPECTRAL)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                spectral_row(cid, raw)
+                for cid, raw in zip(pdf["clip_id"], pdf["bytes"])
+            ]
+            yield pd.DataFrame(rows, columns=_SPECTRAL_COLS)
+
+    clips = clips_df(spark, clips_cache.N_SPECTRAL, run_ts=DEFAULT_RUN_TS)
+    return clips.select("clip_id", "bytes").mapInPandas(
+        feats,
+        schema="clip_id string, decode_ok int, n_samples int, rms_db double, "
+               "zcr double, dominant_hz double, centroid_hz double, "
+               "rolloff85_hz double, flatness double, dominant_hz_8k double, "
+               "tone_match int",
+    ).orderBy("clip_id")
+
+
+def _duck_spectral_oracle(path: str) -> str:
+    """Oracle: measured features from the locally-recomputed parquet
+    (distributed FFT == local FFT bit-for-bit); decode_ok and tone_match
+    RE-DERIVED from clip-index arithmetic — decode fails only at the
+    planted k=23 rows, the silent k=25 rows must NOT match the tone, and
+    every other decodable row MUST land its dominant bin on the planted
+    tone at both 16 kHz and after the 8 kHz resample."""
+    return f"""
+WITH sp AS (SELECT *, CAST(substring(clip_id, 6) AS INT) % 100 AS k
+            FROM read_parquet('{path}'))
+SELECT clip_id,
+  CASE WHEN k = 23 THEN 0 ELSE 1 END AS decode_ok,
+  n_samples, rms_db, zcr, dominant_hz, centroid_hz, rolloff85_hz,
+  flatness, dominant_hz_8k,
+  CASE WHEN k IN (23, 25) THEN 0 ELSE 1 END AS tone_match
+FROM sp ORDER BY clip_id
+"""
+
+
+_q(
+    "clips_spectral_features",
+    fn=_clips_spectral_features,
+    oracle=_duck_spectral_oracle(spectral_path(N_SPECTRAL)),
+    doc="Audio spectral features (rms/zcr/dominant/centroid/rolloff/"
+        "flatness) + resample invariance, Arrow-batched over executors. "
+        "Oracle: local recompute parquet + index-derived tone expectations "
+        "(dominant FFT bin must equal the planted per-index tone at 16k "
+        "and after linear resample to 8k; silent rows must not match).",
+    tags=("clips", "audio"),
+)
+
+
+def _clips_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gate VAD summary per clip (speech_ratio / n_segments /
+    longest run) with a planted mid-clip silence gap on every third index,
+    so segment counts are index-derivable: 0 silent, 2 gapped, 1 plain.
+    The per-row arithmetic is the shared oracle/clips_cache.vad_row
+    helper (audiofeat.vad_stats: 20 ms frames, 10 ms hop, 0.05 full-scale
+    RMS gate)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .oracle import clips_cache
+    from .oracle.clips_cache import _VAD_COLS, vad_row
+
+    clips_cache.ensure_vad(clips_cache.N_VAD)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                vad_row(cid, raw)
+                for cid, raw in zip(pdf["clip_id"], pdf["bytes"])
+            ]
+            yield pd.DataFrame(rows, columns=_VAD_COLS)
+
+    clips = clips_df(spark, clips_cache.N_VAD, run_ts=DEFAULT_RUN_TS)
+    return clips.select("clip_id", "bytes").mapInPandas(
+        stats,
+        schema="clip_id string, decode_ok int, n_frames int, "
+               "speech_ratio double, n_segments int, longest_speech_ms double",
+    ).orderBy("clip_id")
+
+
+def _duck_vad_oracle(path: str) -> str:
+    """Oracle: speech_ratio/longest from the local recompute parquet;
+    decode_ok and n_segments RE-DERIVED from index arithmetic (k=23
+    garbage bytes -> 0 frames; k=25 silent -> 0 segments; i%3==0 gets the
+    planted mid-clip gap -> exactly 2 segments; everything else -> 1)."""
+    return f"""
+WITH v AS (SELECT *,
+             CAST(substring(clip_id, 6) AS BIGINT) AS i,
+             CAST(substring(clip_id, 6) AS INT) % 100 AS k
+           FROM read_parquet('{path}'))
+SELECT clip_id,
+  CASE WHEN k = 23 THEN 0 ELSE 1 END AS decode_ok,
+  n_frames, speech_ratio,
+  CASE WHEN k IN (23, 25) THEN 0
+       WHEN i % 3 = 0 THEN 2 ELSE 1 END AS n_segments,
+  longest_speech_ms
+FROM v ORDER BY clip_id
+"""
+
+
+_q(
+    "clips_vad_segments",
+    fn=_clips_vad_segments,
+    oracle=_duck_vad_oracle(vad_path(N_VAD)),
+    doc="Voice-activity segmentation (energy-gate VAD) per clip with a "
+        "planted silence gap on every third index. Oracle: local recompute "
+        "parquet + index-derived segment counts (0 silent / 2 gapped / 1 "
+        "plain) — the segmenter is checked against arithmetic, not itself.",
+    tags=("clips", "audio"),
+)
+
+
+def _clips_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-content near-dup detection — the text LSH funnel shape
+    applied to the PCM itself.  Corpus: every clip plus a 0.7x-gain
+    requantized copy (``dupc_*``).  Per row an Arrow batch computes the
+    Haitsma-Kalker band-energy sign fingerprint (amplitude-invariant
+    uint16 word per 512-sample hop) and its crc32 chunk keys; candidates
+    come from a banded equi-join on (n_words, chunk_idx, chunk_hash) —
+    never all-pairs — and verification is a NATIVE zip_with/bit_count
+    hamming expression (zero Python in the verify).  100 TB shape: the
+    audio bytes never shuffle (fingerprints are ~100 bytes/clip slim
+    rows); the banded join is an equi-join AQE can plan; silence is
+    gated out up front (all-zero fingerprints would otherwise collide).
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .caching import cached
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .functions import audiofeat as af
+    from .functions.audio import decode_wav_pcm16
+    from .oracle import clips_cache
+    from .oracle.clips_cache import scaled_pcm16
+
+    clips_cache.ensure_fp_pairs(clips_cache.N_FP)
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    dec = decode_wav_pcm16(bytes(raw))
+                except ValueError:
+                    continue
+                suffix = cid.split("_")[1]
+                for tag, pcm in (("clip", dec.pcm), ("dupc", scaled_pcm16(dec.pcm))):
+                    x = pcm.astype(np.float64) / 32767.0
+                    if not x.size or float(np.sqrt(np.mean(x * x))) <= af.VAD_RMS_THRESH:
+                        continue  # silence gate: all-zero fingerprints collide
+                    words = af.band_fingerprint(x, dec.sr_hz)
+                    rows.append((
+                        f"{tag}_{suffix}",
+                        int(words.size),
+                        [int(w) for w in words],
+                        af.fingerprint_chunks(words),
+                    ))
+            yield pd.DataFrame(rows, columns=["fp_id", "n_words", "words", "chunks"])
+
+    clips = clips_df(spark, clips_cache.N_FP, run_ts=DEFAULT_RUN_TS)
+    fp = cached(clips.select("clip_id", "bytes").mapInPandas(
+        fps,
+        schema="fp_id string, n_words int, words array<int>, chunks array<bigint>",
+    ))  # consumed 3x: chunk explode + both sides of the verify join
+
+    chunk = fp.select(
+        "fp_id", "n_words", F.posexplode("chunks").alias("chunk_idx", "chunk_hash")
+    )
+    cand = (
+        chunk.alias("a")
+        .join(
+            chunk.alias("b"),
+            on=[
+                F.col("a.n_words") == F.col("b.n_words"),
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk_hash") == F.col("b.chunk_hash"),
+                F.col("a.fp_id") < F.col("b.fp_id"),
+            ],
+        )
+        .select(F.col("a.fp_id").alias("id_a"), F.col("b.fp_id").alias("id_b"))
+        .distinct()
+    )
+    hamming = (
+        F.expr(
+            "CAST(aggregate(zip_with(wa, wb, (x, y) -> bit_count(x ^ y)), "
+            "0, (s, v) -> s + v) AS DOUBLE)"
+        )
+        / (16.0 * F.col("nw").cast("double"))
+    )
+    return (
+        cand.join(fp.select(F.col("fp_id").alias("id_a"),
+                            F.col("words").alias("wa"),
+                            F.col("n_words").alias("nw")), "id_a")
+        .join(fp.select(F.col("fp_id").alias("id_b"),
+                        F.col("words").alias("wb")), "id_b")
+        .select(
+            F.col("id_a").alias("clip_1"),
+            F.col("id_b").alias("clip_2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= af.FP_HAMMING_MAX)
+        .orderBy("clip_1")
+    )
+
+
+def _duck_fp_oracle(path: str) -> str:
+    """Oracle: the exact expected pair set re-derived from index
+    arithmetic (every decodable, non-silent clip pairs with its scaled
+    copy and NOTHING else — extra or missing Spark pairs break the row
+    count), with the hamming fraction recomputed locally through the
+    same fingerprint arithmetic (integer popcount / 16*n_words, so the
+    float64 division is bit-identical to Spark's native expression)."""
+    return f"""
+SELECT clip_1, clip_2, hamming
+FROM read_parquet('{path}')
+WHERE eligible = 1
+ORDER BY clip_1
+"""
+
+
+_q(
+    "clips_fingerprint_dups",
+    fn=_clips_fingerprint_dups,
+    oracle=_duck_fp_oracle(fp_pairs_path(N_FP)),
+    doc="Audio-content near-dup dedup: Haitsma-Kalker band-energy sign "
+        "fingerprints (amplitude-invariant), chunk-hash LSH banding, "
+        "native bit_count hamming verify — no all-pairs, bytes never "
+        "shuffle. Corpus plants a 0.7x-gain requantized copy per clip; "
+        "oracle re-derives the exact expected pair set from index "
+        "arithmetic + local fingerprint recompute.",
+    tags=("clips", "audio", "dedup"),
 )
 
 
