@@ -113,6 +113,50 @@ def spectral_features(x: np.ndarray, sr: int) -> dict:
     )
 
 
+def active_runs(active: np.ndarray, min_seg_frames: int) -> list:
+    """Run-length encode a boolean frame mask -> [(start, end)] frame
+    spans of active runs at least min_seg_frames long."""
+    n = int(active.size)
+    if n == 0:
+        return []
+    edges = np.flatnonzero(np.diff(active.astype(np.int8)))
+    starts = np.concatenate(([0], edges + 1))
+    ends = np.concatenate((edges + 1, [n]))
+    return [
+        (int(s), int(e))
+        for s, e in zip(starts, ends)
+        if active[s] and (e - s) >= min_seg_frames
+    ]
+
+
+def speech_segments(
+    x: np.ndarray,
+    sr: int,
+    frame_ms: int = VAD_FRAME_MS,
+    hop_ms: int = VAD_HOP_MS,
+    rms_thresh: float = VAD_RMS_THRESH,
+    min_seg_frames: int = VAD_MIN_SEG_FRAMES,
+) -> list:
+    """One tuple per speech segment: (start_ms, end_ms, seg_rms) — the
+    chunk-extraction primitive that turns a long clip into training-sized
+    windows.  end_ms covers the last active frame's full span."""
+    x = np.asarray(x, dtype=np.float64)
+    frame_len = max(1, int(sr * frame_ms / 1000))
+    hop = max(1, int(sr * hop_ms / 1000))
+    frames = frame_signal(x, frame_len, hop)
+    if frames.shape[0] == 0:
+        return []
+    rms = np.sqrt(np.mean(frames * frames, axis=1))
+    out = []
+    for s, e in active_runs(rms > rms_thresh, min_seg_frames):
+        start_ms = float(s * hop_ms)
+        end_ms = float((e - 1) * hop_ms + frame_ms)
+        seg = x[s * hop:min((e - 1) * hop + frame_len, x.size)]
+        seg_rms = float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0
+        out.append((start_ms, end_ms, round(20.0 * np.log10(max(seg_rms, 1e-6)), 3)))
+    return out
+
+
 def vad_stats(
     x: np.ndarray,
     sr: int,
@@ -137,14 +181,8 @@ def vad_stats(
                     longest_speech_ms=0.0)
     rms = np.sqrt(np.mean(frames * frames, axis=1))
     active = rms > rms_thresh
-    # run-length encode the active mask
-    edges = np.flatnonzero(np.diff(active.astype(np.int8)))
-    starts = np.concatenate(([0], edges + 1))
-    ends = np.concatenate((edges + 1, [n_frames]))
-    seg_lens = [
-        int(e - s) for s, e in zip(starts, ends) if active[s]
-    ]
-    segs = [l for l in seg_lens if l >= min_seg_frames]
+    runs = active_runs(active, min_seg_frames)
+    segs = [e - s for s, e in runs]
     longest = max(segs) if segs else 0
     longest_ms = float((longest - 1) * hop_ms + frame_ms) if longest else 0.0
     return dict(

@@ -47,6 +47,9 @@ N_MEDIA_BLOBS = 200  # media_feature_extract: image/video rows
 N_SPECTRAL = 800     # clips_spectral_features corpus size
 N_VAD = 900          # clips_vad_segments corpus size
 N_FP = 500           # clips_fingerprint_dups originals (x2 with copies)
+N_TRANSCODE = 700    # clips_transcode_8k corpus size
+N_CHUNKS = 600       # clips_speech_chunks corpus size
+NORM_PEAK = 0.70794578438413791  # -3 dBFS = 10^(-3/20) target peak
 
 
 def enriched_path(n: int) -> str:
@@ -379,6 +382,112 @@ def ensure_fp_pairs(n: int) -> str:
     return path
 
 
+def transcode_path(n: int) -> str:
+    return os.path.join(CACHE_DIR, f"transcode_{VERSION}_n{n}.parquet")
+
+
+def chunks_path(n: int) -> str:
+    return os.path.join(CACHE_DIR, f"chunks_{VERSION}_n{n}.parquet")
+
+
+_TRANSCODE_COLS = [
+    "clip_id", "decode_ok", "out_sr", "out_n_samples", "gain_db",
+    "out_peak", "out_crc32",
+]
+
+
+def transcode_row(clip_id: str, raw: bytes) -> tuple:
+    """The write-path audio transform: decode -> linear resample to 8 kHz
+    -> peak-normalize to -3 dBFS -> requantize -> re-encode WAV.  Emits
+    the transformed payload's crc32 (a bit-exact check of the WHOLE
+    decode/resample/normalize/encode chain), the gain applied, and the
+    achieved peak.  Silent clips get unity gain.  Shared verbatim by the
+    Spark executors and the oracle mirror."""
+    import numpy as np
+
+    from ..functions import audiofeat as af
+    from ..functions.audio import decode_wav_pcm16, encode_wav_pcm16
+
+    try:
+        dec = decode_wav_pcm16(bytes(raw))
+    except ValueError:
+        return (clip_id, 0, 0, 0, 0.0, 0.0, 0)
+    x = dec.pcm.astype(np.float64) / 32767.0
+    y = af.resample_linear(x, dec.sr_hz, 8000)
+    peak = float(np.max(np.abs(y))) if y.size else 0.0
+    gain = NORM_PEAK / peak if peak > 0 else 1.0
+    y = np.clip(y * gain, -1.0, 1.0)
+    out = encode_wav_pcm16(y, 8000)
+    pcm_out = np.frombuffer(out[44:], dtype="<i2")
+    out_peak = float(np.max(np.abs(pcm_out)) / 32767.0) if pcm_out.size else 0.0
+    return (
+        clip_id, 1, 8000, int(y.size),
+        round(20.0 * float(np.log10(gain)), 3) if gain > 0 else 0.0,
+        round(out_peak, 4),
+        zlib.crc32(out),
+    )
+
+
+def ensure_transcode(n: int) -> str:
+    path = transcode_path(n)
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from ..datagen.clips import row_for
+
+    rows = []
+    for i in range(n):
+        r = row_for(i)
+        rows.append(transcode_row(r["clip_id"], r["bytes"]))
+    _atomic_write(pd.DataFrame(rows, columns=_TRANSCODE_COLS), path)
+    return path
+
+
+_CHUNK_COLS = ["clip_id", "seg_idx", "start_ms", "end_ms", "seg_rms_db"]
+
+
+def chunk_rows(clip_id: str, raw: bytes) -> list:
+    """Chunk extraction: one row per VAD speech segment (the gapped-clip
+    convention from vad_row applies, so segment counts stay index-
+    derivable: 0 silent / 2 gapped / 1 plain; decode failures emit no
+    rows).  Shared verbatim by executors and the oracle mirror."""
+    import numpy as np
+
+    from ..functions import audiofeat as af
+    from ..functions.audio import decode_wav_pcm16
+
+    idx = int(clip_id.split("_")[1])
+    try:
+        dec = decode_wav_pcm16(bytes(raw))
+    except ValueError:
+        return []
+    x = dec.pcm.astype(np.float64) / 32767.0
+    if idx % 3 == 0:
+        x = x.copy()
+        x[int(0.4 * x.size):int(0.6 * x.size)] = 0.0
+    return [
+        (clip_id, j, s, e, r)
+        for j, (s, e, r) in enumerate(af.speech_segments(x, dec.sr_hz))
+    ]
+
+
+def ensure_chunks(n: int) -> str:
+    path = chunks_path(n)
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from ..datagen.clips import row_for
+
+    rows = []
+    for i in range(n):
+        r = row_for(i)
+        rows.extend(chunk_rows(r["clip_id"], r["bytes"]))
+    _atomic_write(pd.DataFrame(rows, columns=_CHUNK_COLS), path)
+    return path
+
+
 DOC_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 
 
@@ -431,3 +540,5 @@ def ensure_all() -> None:
     ensure_spectral(N_SPECTRAL)
     ensure_vad(N_VAD)
     ensure_fp_pairs(N_FP)
+    ensure_transcode(N_TRANSCODE)
+    ensure_chunks(N_CHUNKS)

@@ -2469,18 +2469,22 @@ _q(
 
 
 from .oracle.clips_cache import (  # noqa: E402  (paths baked into oracle SQL)
+    N_CHUNKS,
     N_FP,
     N_INVARIANTS,
     N_LABELS,
     N_PAIRS,
     N_SPECTRAL,
+    N_TRANSCODE,
     N_VAD,
+    chunks_path,
     doc_models_path,
     enriched_path,
     fp_pairs_path,
     invariants_path,
     media_path,
     spectral_path,
+    transcode_path,
     vad_path,
 )
 
@@ -2944,6 +2948,125 @@ _q(
         "oracle re-derives the exact expected pair set from index "
         "arithmetic + local fingerprint recompute.",
     tags=("clips", "audio", "dedup"),
+)
+
+
+def _clips_transcode_8k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-path audio transform distributed over executors: decode
+    -> linear resample to 8 kHz -> peak-normalize to -3 dBFS -> re-encode
+    WAV, emitting the transformed payload's crc32 (bit-exact check of the
+    whole chain), applied gain, and achieved peak.  Map-only: consumes
+    bytes on the scan partitions, shuffles nothing (the orderBy is
+    presentation-only at the tiny result size).  The per-row arithmetic
+    is the shared oracle/clips_cache.transcode_row helper."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .oracle import clips_cache
+    from .oracle.clips_cache import _TRANSCODE_COLS, transcode_row
+
+    clips_cache.ensure_transcode(clips_cache.N_TRANSCODE)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                transcode_row(cid, raw)
+                for cid, raw in zip(pdf["clip_id"], pdf["bytes"])
+            ]
+            yield pd.DataFrame(rows, columns=_TRANSCODE_COLS)
+
+    clips = clips_df(spark, clips_cache.N_TRANSCODE, run_ts=DEFAULT_RUN_TS)
+    return clips.select("clip_id", "bytes").mapInPandas(
+        run,
+        schema="clip_id string, decode_ok int, out_sr int, out_n_samples int, "
+               "gain_db double, out_peak double, out_crc32 bigint",
+    ).orderBy("clip_id")
+
+
+def _duck_transcode_oracle(path: str) -> str:
+    """Oracle: gain/peak/crc from the local recompute parquet (the crc32
+    makes the check bit-exact over the entire transformed WAV payload);
+    decode_ok, out_sr, and the silent-row unity gain RE-DERIVED from
+    clip-index arithmetic."""
+    return f"""
+WITH t AS (SELECT *, CAST(substring(clip_id, 6) AS INT) % 100 AS k
+           FROM read_parquet('{path}'))
+SELECT clip_id,
+  CASE WHEN k = 23 THEN 0 ELSE 1 END AS decode_ok,
+  CASE WHEN k = 23 THEN 0 ELSE 8000 END AS out_sr,
+  out_n_samples,
+  CASE WHEN k IN (23, 25) THEN 0.0 ELSE gain_db END AS gain_db,
+  out_peak, out_crc32
+FROM t ORDER BY clip_id
+"""
+
+
+_q(
+    "clips_transcode_8k",
+    fn=_clips_transcode_8k,
+    oracle=_duck_transcode_oracle(transcode_path(N_TRANSCODE)),
+    doc="Audio write-path transform: decode -> 8 kHz linear resample -> "
+        "-3 dBFS peak normalize -> WAV re-encode, checked bit-exact via "
+        "crc32 of the output payload. Map-only over scan partitions — the "
+        "100 TB transcode shape (no shuffle of audio bytes). Oracle: local "
+        "recompute parquet + index-derived decode/sr/silent-gain "
+        "expectations.",
+    tags=("clips", "audio"),
+)
+
+
+def _clips_speech_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk extraction — the explode-media-into-training-samples shape:
+    one output row per VAD speech segment (start/end ms + segment RMS),
+    using the same planted-gap convention as clips_vad_segments so
+    per-clip chunk counts are index-derivable.  flatMap-style mapInPandas:
+    input rows fan OUT to 0..2 output rows on the scan partitions; bytes
+    never shuffle."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .oracle import clips_cache
+    from .oracle.clips_cache import _CHUNK_COLS, chunk_rows
+
+    clips_cache.ensure_chunks(clips_cache.N_CHUNKS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                rows.extend(chunk_rows(cid, raw))
+            yield pd.DataFrame(rows, columns=_CHUNK_COLS)
+
+    clips = clips_df(spark, clips_cache.N_CHUNKS, run_ts=DEFAULT_RUN_TS)
+    return clips.select("clip_id", "bytes").mapInPandas(
+        run,
+        schema="clip_id string, seg_idx bigint, start_ms double, "
+               "end_ms double, seg_rms_db double",
+    ).orderBy("clip_id", "seg_idx")
+
+
+def _duck_chunks_oracle(path: str) -> str:
+    return f"""
+SELECT clip_id, seg_idx, start_ms, end_ms, seg_rms_db
+FROM read_parquet('{path}')
+ORDER BY clip_id, seg_idx
+"""
+
+
+_q(
+    "clips_speech_chunks",
+    fn=_clips_speech_chunks,
+    oracle=_duck_chunks_oracle(chunks_path(N_CHUNKS)),
+    doc="Speech-chunk extraction: fan each clip out to one row per VAD "
+        "speech segment (start/end/RMS) — the segment-into-training-"
+        "samples operator. Planted gaps make counts index-derivable "
+        "(asserted in tests/test_audiofeat.py); oracle recomputes the "
+        "exact segment table locally.",
+    tags=("clips", "audio"),
 )
 
 

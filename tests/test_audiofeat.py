@@ -133,3 +133,48 @@ def test_hamming_frac_length_mismatch_is_far():
     a = np.array([1, 2, 3], dtype=np.uint16)
     b = np.array([1, 2], dtype=np.uint16)
     assert af.hamming_frac(a, b) == 1.0
+
+
+def test_transcode_row_invariants():
+    from dataquality_spark.oracle.clips_cache import NORM_PEAK, transcode_row
+    from dataquality_spark.functions.audio import decode_wav_pcm16
+
+    r = row_for(28)
+    row = transcode_row(r["clip_id"], r["bytes"])
+    assert row[1] == 1 and row[2] == 8000
+    # output length = resampled length
+    n_in = decode_wav_pcm16(r["bytes"]).pcm.size
+    assert row[3] == int(n_in * 8000 / SR)
+    # achieved peak lands on the -3 dBFS target (within quantization)
+    assert abs(row[5] - NORM_PEAK) < 2e-4
+    # deterministic: same input -> same crc
+    assert transcode_row(r["clip_id"], r["bytes"])[6] == row[6]
+    # silent: unity gain
+    r25 = row_for(325)
+    assert transcode_row(r25["clip_id"], r25["bytes"])[4] == 0.0
+    # decode failure
+    r23 = row_for(23)
+    assert transcode_row(r23["clip_id"], r23["bytes"])[1] == 0
+
+
+def test_chunk_rows_match_planted_counts():
+    from dataquality_spark.oracle.clips_cache import chunk_rows
+
+    gapped = chunk_rows(*[row_for(30)[c] for c in ("clip_id", "bytes")])
+    assert len(gapped) == 2
+    # second segment starts after the 40-60% planted gap
+    assert gapped[0][2] == 0.0 and gapped[1][2] > gapped[0][3] - 20
+    plain = chunk_rows(*[row_for(28)[c] for c in ("clip_id", "bytes")])
+    assert len(plain) == 1
+    assert chunk_rows(*[row_for(325)[c] for c in ("clip_id", "bytes")]) == []
+    assert chunk_rows(*[row_for(23)[c] for c in ("clip_id", "bytes")]) == []
+
+
+def test_speech_segments_consistent_with_vad_stats():
+    x = _pcm_float(30)
+    x = x.copy(); x[int(0.4*x.size):int(0.6*x.size)] = 0.0
+    segs = af.speech_segments(x, SR)
+    stats = af.vad_stats(x, SR)
+    assert len(segs) == stats["n_segments"]
+    longest = max(e - s for s, e, _ in segs)
+    assert longest == stats["longest_speech_ms"]
