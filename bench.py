@@ -92,6 +92,23 @@ def main() -> None:
     timings["clips_pipeline"] = round(clip_sec, 3)
     clips_per_sec = round(N_CLIPS / clip_sec, 1)
 
+    # --- audio-payload dedup: fingerprint + LSH + native hamming verify --
+    # Decode -> FFT fingerprint -> banded join -> bit_count verify over the
+    # SAME pre-materialized clips table as the flagship (throughput of the
+    # audio-content dedup path; the corpus has no planted audio dups, so
+    # this measures the full-funnel cost, not the pair count).
+    from dataquality_spark.caching import cached
+    from dataquality_spark.operators.audiodedup import (
+        audio_fingerprints,
+        fingerprint_pairs,
+    )
+
+    t0 = time.time()
+    fp = cached(audio_fingerprints(clips))
+    _force(fingerprint_pairs(fp))
+    timings["audio_fingerprint_dedup"] = round(time.time() - t0, 3)
+    release_all()
+
     # --- catalog headline queries ---------------------------------------
     for name, q in CATALOG.items():
         if "bench" not in q.tags or name.startswith("clips_"):

@@ -2839,87 +2839,49 @@ def _clips_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows); the banded join is an equi-join AQE can plan; silence is
     gated out up front (all-zero fingerprints would otherwise collide).
     """
-    from typing import Iterator
-
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from .caching import cached
     from .datagen.clips import DEFAULT_RUN_TS, clips_df
-    from .functions import audiofeat as af
-    from .functions.audio import decode_wav_pcm16
+    from .operators.audiodedup import audio_fingerprints, fingerprint_pairs
     from .oracle import clips_cache
-    from .oracle.clips_cache import scaled_pcm16
 
     clips_cache.ensure_fp_pairs(clips_cache.N_FP)
 
-    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
-                try:
-                    dec = decode_wav_pcm16(bytes(raw))
-                except ValueError:
-                    continue
-                suffix = cid.split("_")[1]
-                for tag, pcm in (("clip", dec.pcm), ("dupc", scaled_pcm16(dec.pcm))):
-                    x = pcm.astype(np.float64) / 32767.0
-                    if not x.size or float(np.sqrt(np.mean(x * x))) <= af.VAD_RMS_THRESH:
-                        continue  # silence gate: all-zero fingerprints collide
-                    words = af.band_fingerprint(x, dec.sr_hz)
-                    rows.append((
-                        f"{tag}_{suffix}",
-                        int(words.size),
-                        [int(w) for w in words],
-                        af.fingerprint_chunks(words),
-                    ))
-            yield pd.DataFrame(rows, columns=["fp_id", "n_words", "words", "chunks"])
-
     clips = clips_df(spark, clips_cache.N_FP, run_ts=DEFAULT_RUN_TS)
-    fp = cached(clips.select("clip_id", "bytes").mapInPandas(
-        fps,
-        schema="fp_id string, n_words int, words array<int>, chunks array<bigint>",
-    ))  # consumed 3x: chunk explode + both sides of the verify join
+    # corpus: every clip + its 0.7x-gain requantized copy ("dupc_" prefix
+    # sorts after "clip_", so pair order is deterministic)
+    corpus = clips.select("clip_id", "bytes").unionByName(
+        clips.select(
+            F.concat(F.lit("dupc_"), F.substring("clip_id", 6, 32)).alias("clip_id"),
+            F.col("bytes"),
+        )
+    )
+    # rebuild each copy's bytes executor-side: decode -> scale -> re-encode
+    from typing import Iterator
 
-    chunk = fp.select(
-        "fp_id", "n_words", F.posexplode("chunks").alias("chunk_idx", "chunk_hash")
-    )
-    cand = (
-        chunk.alias("a")
-        .join(
-            chunk.alias("b"),
-            on=[
-                F.col("a.n_words") == F.col("b.n_words"),
-                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
-                F.col("a.chunk_hash") == F.col("b.chunk_hash"),
-                F.col("a.fp_id") < F.col("b.fp_id"),
-            ],
-        )
-        .select(F.col("a.fp_id").alias("id_a"), F.col("b.fp_id").alias("id_b"))
-        .distinct()
-    )
-    hamming = (
-        F.expr(
-            "CAST(aggregate(zip_with(wa, wb, (x, y) -> bit_count(x ^ y)), "
-            "0, (s, v) -> s + v) AS DOUBLE)"
-        )
-        / (16.0 * F.col("nw").cast("double"))
-    )
-    return (
-        cand.join(fp.select(F.col("fp_id").alias("id_a"),
-                            F.col("words").alias("wa"),
-                            F.col("n_words").alias("nw")), "id_a")
-        .join(fp.select(F.col("fp_id").alias("id_b"),
-                        F.col("words").alias("wb")), "id_b")
-        .select(
-            F.col("id_a").alias("clip_1"),
-            F.col("id_b").alias("clip_2"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= af.FP_HAMMING_MAX)
-        .orderBy("clip_1")
-    )
+    import pandas as pd
+
+    def rescale(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .functions.audio import decode_wav_pcm16, encode_wav_pcm16
+        from .oracle.clips_cache import scaled_pcm16
+
+        for pdf in batches:
+            out_ids, out_bytes = [], []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                if cid.startswith("dupc_"):
+                    try:
+                        dec = decode_wav_pcm16(bytes(raw))
+                    except ValueError:
+                        continue
+                    raw = encode_wav_pcm16(scaled_pcm16(dec.pcm), dec.sr_hz)
+                out_ids.append(cid)
+                out_bytes.append(bytes(raw))
+            yield pd.DataFrame({"clip_id": out_ids, "bytes": out_bytes})
+
+    corpus = corpus.mapInPandas(rescale, schema="clip_id string, bytes binary")
+    fp = cached(audio_fingerprints(corpus))  # consumed 3x in the funnel
+    return fingerprint_pairs(fp).orderBy("clip_1")
 
 
 def _duck_fp_oracle(path: str) -> str:

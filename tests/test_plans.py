@@ -85,3 +85,27 @@ def test_no_global_single_partition_window_in_catalog_sql(spark):
                 assert "SinglePartition" not in line, (name, line)
     # and none of them may plan a cartesian product
         assert "CartesianProduct" not in plan, name
+
+
+def test_audio_fingerprint_dedup_plan_shape(spark):
+    """The audio dedup funnel must (a) never plan a cartesian or
+    broadcast-nested-loop pair generation — candidates come from the
+    banded equi-join — and (b) never let the binary audio payload enter
+    a shuffle: only slim fingerprint rows move."""
+    from dataquality_spark.datagen.clips import clips_df
+    from dataquality_spark.operators.audiodedup import (
+        audio_fingerprints,
+        fingerprint_pairs,
+    )
+    from dataquality_spark.plan_utils import exchange_inputs, formatted_plan
+
+    fp = audio_fingerprints(clips_df(spark, 60))
+    pairs = fingerprint_pairs(fp)
+    raw = _plan(pairs)
+    assert "CartesianProduct" not in raw
+    assert "BroadcastNestedLoopJoin" not in raw
+    plan = formatted_plan(pairs, execute=True)
+    for inp in exchange_inputs(plan):
+        assert not re.search(r"\bbytes#", inp), (
+            f"audio bytes entered a shuffle: {inp[:120]}"
+        )
