@@ -146,18 +146,34 @@ def compact_table(
     return stats
 
 
-def read_table(spark: SparkSession, table_dir: str, manifest: Manifest) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: Manifest,
+    as_of_sequence: int | None = None,
+) -> DataFrame:
     """Read ONLY manifest-committed batches (uncommitted = invisible,
     exactly Iceberg's read isolation).
+
+    ``as_of_sequence`` is snapshot time-travel (the ``VERSION AS OF``
+    analog): read the table as it existed at that commit — only batches
+    whose manifest ``sequence_number`` is <= the given value are visible.
+    None reads the latest snapshot.
 
     A committed batch may legitimately have NO directory: hash bucketing
     can leave a batch id empty, and ``partitionBy`` writes no dir for an
     empty partition — the manifest entry (n_rows=0) is still the record
     that the batch was processed, so missing dirs are skipped, not
     errors."""
-    committed = sorted(manifest.committed_batches())
+    entries = manifest.entries()
+    if as_of_sequence is not None:
+        entries = [e for e in entries if e["sequence_number"] <= as_of_sequence]
+    committed = sorted({e["batch_id"] for e in entries})
     if not committed:
-        raise ValueError(f"no committed batches under {table_dir}")
+        raise ValueError(
+            f"no committed batches under {table_dir}"
+            + (f" at sequence {as_of_sequence}" if as_of_sequence is not None else "")
+        )
     paths = [
         p
         for b in committed

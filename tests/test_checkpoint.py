@@ -144,3 +144,32 @@ def test_empty_hash_buckets_do_not_poison_the_manifest(spark, tmp_path):
     assert not second.batches_run
     assert second.result.results.count() == 12
     clips.unpersist()
+
+
+def test_time_travel_read_as_of_sequence(spark, tmp_path):
+    """Snapshot time-travel (VERSION AS OF analog): reading at an earlier
+    manifest sequence number sees exactly the rows committed by then, and
+    the latest read is unchanged."""
+    from dataquality_spark.io.tableio import read_table
+
+    clips = clips_df(spark, N).cache()
+    d = str(tmp_path / "tt")
+    run_checkpointed(clips, DEFAULT_RUN_TS, d, n_batches=N_BATCHES)
+    m = Manifest(d + "/enriched")
+    entries = sorted(m.entries(), key=lambda e: e["sequence_number"])
+    assert len(entries) == N_BATCHES
+
+    full = read_table(spark, d + "/enriched", m)
+    assert full.count() == N
+
+    # as of the second commit: only the first two batches' rows
+    seq = entries[1]["sequence_number"]
+    early = read_table(spark, d + "/enriched", m, as_of_sequence=seq)
+    expected = sum(e["n_rows"] for e in entries[:2])
+    assert early.count() == expected
+    early_batches = {r["batch_id"] for r in early.select("batch_id").distinct().collect()}
+    assert early_batches <= {e["batch_id"] for e in entries[:2]}
+
+    # before any commit -> error, same as an empty table
+    with pytest.raises(ValueError, match="at sequence -1"):
+        read_table(spark, d + "/enriched", m, as_of_sequence=-1)
