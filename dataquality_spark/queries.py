@@ -3032,6 +3032,73 @@ _q(
 )
 
 
+def _clips_speaking_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal audio<->transcript consistency: speaking-rate stats
+    (chars/sec, words/min) from the transcript length vs the clip's audio
+    duration, flagged with the policy's Completeness rate band (40..1000
+    cps — operators/scoring.py Completeness, metadata.py:419-433).  This
+    is the standard ASR-corpus alignment filter: a transcript far too
+    short or too long for its audio is a mislabeled pair.  Entirely
+    native expressions (tokenize + arithmetic in codegen, no UDF); the
+    oracle recomputes the same stats from the pure-Python enrichment
+    parquet, so Spark's \\W+ tokenizer and rate arithmetic are checked
+    against the independent Python tokenizer, not against themselves."""
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .oracle import clips_cache
+
+    clips_cache.ensure_enriched(clips_cache.N_LABELS)
+    clips = clips_df(spark, clips_cache.N_LABELS, run_ts=DEFAULT_RUN_TS)
+    toks = _tokens("spark", "transcript")
+    cps = "(CAST(n_chars AS DOUBLE) / (CAST(dur_ms AS DOUBLE) / 1000.0))"
+    return (
+        clips.selectExpr(
+            "clip_id",
+            f"CAST(size({toks}) AS BIGINT) AS n_tokens",
+            "CAST(length(transcript) AS BIGINT) AS n_chars",
+            "CAST(dur_ms AS BIGINT) AS dur_ms",
+        )
+        .selectExpr(
+            "clip_id", "n_tokens", "n_chars", "dur_ms",
+            f"round({cps}, 4) AS chars_per_sec",
+            "round(CAST(n_tokens AS DOUBLE) * 60000.0 / CAST(dur_ms AS DOUBLE), 4)"
+            " AS words_per_min",
+            f"CASE WHEN n_tokens = 0 THEN 'empty' WHEN {cps} < 40.0 THEN "
+            f"'too_slow' WHEN {cps} > 1000.0 THEN 'too_fast' ELSE 'ok' END"
+            " AS rate_flag",
+        )
+        .orderBy("clip_id")
+    )
+
+
+def _duck_speaking_rate_oracle(path: str) -> str:
+    cps = "(CAST(n_chars AS DOUBLE) / (CAST(dur_ms AS DOUBLE) / 1000.0))"
+    return f"""
+SELECT clip_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(dur_ms AS BIGINT) AS dur_ms,
+  round({cps}, 4) AS chars_per_sec,
+  round(CAST(n_tokens AS DOUBLE) * 60000.0 / CAST(dur_ms AS DOUBLE), 4)
+    AS words_per_min,
+  CASE WHEN n_tokens = 0 THEN 'empty' WHEN {cps} < 40.0 THEN 'too_slow'
+       WHEN {cps} > 1000.0 THEN 'too_fast' ELSE 'ok' END AS rate_flag
+FROM read_parquet('{path}') ORDER BY clip_id
+"""
+
+
+_q(
+    "clips_speaking_rate",
+    fn=_clips_speaking_rate,
+    oracle=_duck_speaking_rate_oracle(enriched_path(N_LABELS)),
+    doc="Cross-modal speaking-rate filter: chars/sec + words/min from "
+        "transcript length vs audio duration, flagged with the policy's "
+        "40..1000 cps Completeness band — the ASR mislabeled-pair check. "
+        "Pure codegen expressions; oracle recomputes rates from the "
+        "independent pure-Python enrichment parquet.",
+    tags=("clips", "audio", "quality"),
+)
+
+
 # --------------------------------------------------------------------------
 # Public surface consumed by __spark_entry__.py
 # --------------------------------------------------------------------------
