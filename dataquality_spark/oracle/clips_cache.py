@@ -488,6 +488,88 @@ def ensure_chunks(n: int) -> str:
     return path
 
 
+N_LOUD = 800  # clips_loudness_stats corpus size (x2 with hot4 variants)
+
+
+def loudness_path(n: int) -> str:
+    return os.path.join(CACHE_DIR, f"loudness_{VERSION}_n{n}.parquet")
+
+
+_LOUD_COLS = [
+    "clip_id", "variant", "decode_ok", "peak", "rms_db", "crest_db",
+    "clip_ratio", "is_clipped",
+]
+
+
+def _pcm_loudness(pcm_int: "np.ndarray") -> tuple:
+    """(peak, rms_db, crest_db, clip_ratio, is_clipped) from int16 PCM.
+
+    clip_ratio counts saturated codes (|code| >= 32767 — the negative rail
+    saturates at -32768, which abs() still catches); is_clipped uses the
+    1% ratio the policy's Accuracy dimension gates on (operators/
+    scoring.py, metadata.py:419-433)."""
+    import numpy as np
+
+    x = pcm_int.astype(np.float64) / 32767.0
+    if x.size == 0:
+        return (0.0, -120.0, 0.0, 0.0, 0)
+    peak = float(np.max(np.abs(x)))
+    rms = float(np.sqrt(np.mean(x * x)))
+    clip_ratio = float(np.mean(np.abs(pcm_int.astype(np.int32)) >= 32767))
+    rms_db = 20.0 * np.log10(rms) if rms > 1e-6 else -120.0
+    crest_db = 20.0 * np.log10(peak / rms) if rms > 1e-6 and peak > 0 else 0.0
+    return (
+        round(peak, 4), round(rms_db, 3), round(crest_db, 3),
+        round(clip_ratio, 5), int(clip_ratio > 0.01),
+    )
+
+
+def loudness_rows(clip_id: str, raw: bytes) -> list:
+    """Two rows per clip — the original and a 4x-gain requantized 'hot4'
+    variant — so the clipping detector sees both sides of the 1% gate on
+    every index: the hot copy of any voiced clip MUST clip (tone amplitude
+    0.5 -> 2.0 saturates ~2/3 of samples), the original must NOT except
+    the planted k=26 clipped case, silence never clips, and decode
+    failures emit zeroed rows.  All expectations are index-derivable,
+    which is what the DuckDB oracle re-derives.  Shared verbatim by the
+    Spark executors and the local oracle mirror."""
+    import numpy as np
+
+    from ..functions.audio import decode_wav_pcm16
+
+    try:
+        dec = decode_wav_pcm16(bytes(raw))
+    except ValueError:
+        zero = (0.0, -120.0, 0.0, 0.0, 0)
+        return [
+            (clip_id, "orig", 0) + zero,
+            (clip_id, "hot4", 0) + zero,
+        ]
+    hot = np.clip(
+        np.round(dec.pcm.astype(np.float64) * 4.0), -32768, 32767
+    ).astype(np.int16)
+    return [
+        (clip_id, "orig", 1) + _pcm_loudness(dec.pcm),
+        (clip_id, "hot4", 1) + _pcm_loudness(hot),
+    ]
+
+
+def ensure_loudness(n: int) -> str:
+    path = loudness_path(n)
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from ..datagen.clips import row_for
+
+    rows = []
+    for i in range(n):
+        r = row_for(i)
+        rows.extend(loudness_rows(r["clip_id"], r["bytes"]))
+    _atomic_write(pd.DataFrame(rows, columns=_LOUD_COLS), path)
+    return path
+
+
 DOC_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
 
 
@@ -542,3 +624,4 @@ def ensure_all() -> None:
     ensure_fp_pairs(N_FP)
     ensure_transcode(N_TRANSCODE)
     ensure_chunks(N_CHUNKS)
+    ensure_loudness(N_LOUD)

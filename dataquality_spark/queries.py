@@ -2473,6 +2473,7 @@ from .oracle.clips_cache import (  # noqa: E402  (paths baked into oracle SQL)
     N_FP,
     N_INVARIANTS,
     N_LABELS,
+    N_LOUD,
     N_PAIRS,
     N_SPECTRAL,
     N_TRANSCODE,
@@ -2482,6 +2483,7 @@ from .oracle.clips_cache import (  # noqa: E402  (paths baked into oracle SQL)
     enriched_path,
     fp_pairs_path,
     invariants_path,
+    loudness_path,
     media_path,
     spectral_path,
     transcode_path,
@@ -3095,6 +3097,75 @@ _q(
         "40..1000 cps Completeness band — the ASR mislabeled-pair check. "
         "Pure codegen expressions; oracle recomputes rates from the "
         "independent pure-Python enrichment parquet.",
+    tags=("clips", "audio", "quality"),
+)
+
+
+def _clips_loudness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness / clipping analysis — the gain-staging quality gate an
+    audio ingest pipeline runs before training: per clip, peak dBFS,
+    RMS level, crest factor, and the fraction of saturated PCM codes,
+    for the original AND a 4x-gain requantized 'hot4' variant (fan-out
+    mapInPandas, 2 output rows per input clip, bytes never shuffle).
+    The hot variant puts every voiced clip on the clipping side of the
+    policy's 1% Accuracy gate while the original stays clean (except
+    the planted k=26 clipped case), so the oracle can re-derive the
+    is_clipped verdicts from clip-index arithmetic — the detector is
+    checked against an analytic expectation, not against itself."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .oracle import clips_cache
+    from .oracle.clips_cache import _LOUD_COLS, loudness_rows
+
+    clips_cache.ensure_loudness(clips_cache.N_LOUD)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                rows.extend(loudness_rows(cid, raw))
+            yield pd.DataFrame(rows, columns=_LOUD_COLS)
+
+    clips = clips_df(spark, clips_cache.N_LOUD, run_ts=DEFAULT_RUN_TS)
+    return clips.select("clip_id", "bytes").mapInPandas(
+        run,
+        schema="clip_id string, variant string, decode_ok int, peak double, "
+               "rms_db double, crest_db double, clip_ratio double, "
+               "is_clipped int",
+    ).orderBy("clip_id", "variant")
+
+
+def _duck_loudness_oracle(path: str) -> str:
+    """Oracle: measured levels from the local recompute parquet; decode_ok
+    and is_clipped RE-DERIVED from index arithmetic — k=23 fails decode,
+    originals clip only at the planted k=26 case, 4x-gain variants clip on
+    every voiced decodable row, silence (k=25) never clips."""
+    return f"""
+WITH l AS (SELECT *, CAST(substring(clip_id, 6) AS INT) % 100 AS k
+           FROM read_parquet('{path}'))
+SELECT clip_id, variant,
+  CASE WHEN k = 23 THEN 0 ELSE 1 END AS decode_ok,
+  peak, rms_db, crest_db, clip_ratio,
+  CASE WHEN k = 23 THEN 0
+       WHEN variant = 'orig' THEN (CASE WHEN k = 26 THEN 1 ELSE 0 END)
+       WHEN k = 25 THEN 0 ELSE 1 END AS is_clipped
+FROM l ORDER BY clip_id, variant
+"""
+
+
+_q(
+    "clips_loudness_stats",
+    fn=_clips_loudness_stats,
+    oracle=_duck_loudness_oracle(loudness_path(N_LOUD)),
+    doc="Loudness/clipping gate: peak dBFS, RMS, crest factor and "
+        "saturated-code ratio per clip for the original and a 4x-gain "
+        "requantized variant (fan-out mapInPandas). Oracle: local "
+        "recompute parquet + index-derived clipping verdicts (hot "
+        "variants of voiced rows must clip, originals only at the "
+        "planted k=26 case).",
     tags=("clips", "audio", "quality"),
 )
 

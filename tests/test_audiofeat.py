@@ -178,3 +178,23 @@ def test_speech_segments_consistent_with_vad_stats():
     assert len(segs) == stats["n_segments"]
     longest = max(e - s for s, e, _ in segs)
     assert longest == stats["longest_speech_ms"]
+
+
+def test_loudness_rows_clipping_expectations():
+    from dataquality_spark.oracle.clips_cache import loudness_rows
+
+    # voiced row: hot4 variant clips (~2/3 of tone samples), original clean
+    orig, hot = loudness_rows(*[row_for(28)[c] for c in ("clip_id", "bytes")])
+    assert orig[1] == "orig" and orig[2] == 1 and orig[7] == 0
+    assert hot[1] == "hot4" and hot[7] == 1 and hot[6] > 0.3
+    # crest factor of a near-sine sits around 3 dB
+    assert 2.0 < orig[5] < 5.0
+    # planted clipped row (k=26): the ORIGINAL already clips
+    orig26, _ = loudness_rows(*[row_for(126)[c] for c in ("clip_id", "bytes")])
+    assert orig26[7] == 1 and orig26[3] == 1.0
+    # silence never clips, at any gain
+    orig25, hot25 = loudness_rows(*[row_for(325)[c] for c in ("clip_id", "bytes")])
+    assert orig25[7] == 0 and hot25[7] == 0 and orig25[4] == -120.0
+    # decode failure emits zeroed rows for both variants
+    rows23 = loudness_rows(*[row_for(23)[c] for c in ("clip_id", "bytes")])
+    assert [r[2] for r in rows23] == [0, 0]
