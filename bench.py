@@ -109,6 +109,21 @@ def main() -> None:
     timings["audio_fingerprint_dedup"] = round(time.time() - t0, 3)
     release_all()
 
+    # --- offset-invariant audio dedup (time-shifted copy recovery) ------
+    # Inverted-index offset voting + aligned-hamming verify over the same
+    # table: the full-funnel cost of the matcher that catches
+    # silence-leader shifted copies chunk hashing cannot.
+    from dataquality_spark.operators.audiodedup import (
+        offset_align_pairs,
+        offset_fingerprints,
+    )
+
+    t0 = time.time()
+    ofp = cached(offset_fingerprints(clips))
+    _force(offset_align_pairs(ofp))
+    timings["audio_offset_align_dedup"] = round(time.time() - t0, 3)
+    release_all()
+
     # --- catalog headline queries ---------------------------------------
     for name, q in CATALOG.items():
         if "bench" not in q.tags or name.startswith("clips_"):

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import audiofeat as af
@@ -111,4 +111,169 @@ def fingerprint_pairs(
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Offset-invariant matching (time-shifted copies)
+# ---------------------------------------------------------------------------
+#
+# The chunk-hash banding above only recovers copies that are frame-aligned:
+# a re-published clip with a few hundred milliseconds of leader silence (a
+# DAW export, a concatenated ad bumper, a padded upload) shares NO chunk
+# hash with its source, because every fingerprint word shifts by
+# shift/FP_HOP positions.  The classic fix (Haitsma-Kalker / Shazam) is an
+# inverted index over local fingerprint features with OFFSET VOTING: every
+# shared feature votes for the relative alignment `pos_b - pos_a`, a true
+# time-shifted copy concentrates its votes on one modal offset, and a
+# final hamming verify runs over the overlap at that alignment.
+OFF_BIGRAM_CAP = 64    # df-cap: drop inverted-index keys hotter than this
+OFF_MIN_VOTES = 8      # modal-offset votes required to form a candidate
+OFF_MIN_WORDS = 14     # min aligned overlap (words); 13 possible votes
+                       # leaves a 5-vote margin over OFF_MIN_VOTES for
+                       # quantization bit-flip losses (measured ~1 bit per
+                       # 224: oracle/clips_cache.py scaled_pcm16 notes)
+OFF_MAX_HAMMING = 0.05  # verify: bit-flip budget at the aligned overlap
+
+
+def offset_fingerprints(clips: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """clip_id/bytes -> (fp_id, n_words, words, bigrams) rows for the
+    offset-invariant matcher.  `bigrams[j] = words[j]<<16 | words[j+1]`
+    is the inverted-index key: a single 16-bit word is too collision-
+    prone to index (65k distinct values over billions of frames), the
+    32-bit bigram carries enough noise-driven temporal structure to make
+    buckets sparse.  Zero-zero bigrams (digital silence) are dropped up
+    front — they are the audio analog of stop-words and would otherwise
+    form one quadratic bucket out of every silent leader."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.audio import decode_wav_pcm16
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf[id_col], pdf["bytes"]):
+                try:
+                    dec = decode_wav_pcm16(bytes(raw))
+                except ValueError:
+                    continue
+                x = dec.pcm.astype(np.float64) / 32767.0
+                if not x.size or float(np.sqrt(np.mean(x * x))) <= af.VAD_RMS_THRESH:
+                    continue
+                w = af.band_fingerprint(x, dec.sr_hz).astype(np.int64)
+                if w.size < 2:
+                    continue
+                big = (w[:-1] << 16) | w[1:]
+                rows.append((
+                    cid,
+                    int(w.size),
+                    [int(v) for v in w],
+                    [int(v) for v in big],
+                ))
+            yield pd.DataFrame(rows, columns=["fp_id", "n_words", "words", "bigrams"])
+
+    return clips.select(F.col(id_col).alias(id_col), "bytes").mapInPandas(
+        fps,
+        schema="fp_id string, n_words int, words array<int>, bigrams array<bigint>",
+    )
+
+
+def offset_align_pairs(
+    fp: DataFrame,
+    min_votes: int = OFF_MIN_VOTES,
+    min_words: int = OFF_MIN_WORDS,
+    max_hamming: float = OFF_MAX_HAMMING,
+    bigram_cap: int = OFF_BIGRAM_CAP,
+) -> DataFrame:
+    """Modal-offset candidate generation + native aligned-hamming verify.
+
+    Stages (all equi-joins / keyed aggregations — no all-pairs, no
+    global window):
+
+    1. posting list: posexplode(bigrams) -> (fp_id, pos, key);
+    2. df-cap: keys appearing in > bigram_cap postings are dropped (hot
+       boilerplate features — jingles, dial tones — would otherwise
+       create a near-quadratic bucket; a true copy pair still has
+       plenty of rarer keys to vote with);
+    3. offset voting: self-equi-join on key (fp_id_a < fp_id_b),
+       groupBy (a, b, offset = pos_b - pos_a) -> votes;
+    4. modal offset per pair: row_number over (pair) ordered by
+       (votes desc, offset asc) — deterministic tie-break;
+    5. verify: join the two word arrays back, hamming over the aligned
+       overlap as a native zip_with/bit_count expression inside
+       whole-stage codegen.
+
+    100 TB: bytes never reach this operator (offset_fingerprints
+    consumed them on the scan partitions); postings are 3-column slim
+    rows; every join is an equi-join AQE can re-plan for skew; the
+    df-cap bounds the worst bucket.  Returns (clip_1, clip_2,
+    offset_words, overlap_words, hamming)."""
+    posts = fp.select(
+        "fp_id", F.posexplode("bigrams").alias("pos", "key")
+    ).filter(F.col("key") != 0)
+
+    key_ok = posts.groupBy("key").count().filter(F.col("count") <= bigram_cap)
+    posts = posts.join(key_ok.select("key"), "key")
+
+    votes = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            on=[
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.fp_id") < F.col("b.fp_id"),
+            ],
+        )
+        .select(
+            F.col("a.fp_id").alias("id_a"),
+            F.col("b.fp_id").alias("id_b"),
+            (F.col("b.pos") - F.col("a.pos")).alias("off"),
+        )
+        .groupBy("id_a", "id_b", "off")
+        .agg(F.count("*").alias("votes"))
+    )
+    modal = (
+        votes.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id_a", "id_b").orderBy(
+                    F.col("votes").desc(), F.col("off").asc()
+                )
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("votes") >= min_votes))
+        .drop("rn")
+    )
+
+    sa = fp.select(F.col("fp_id").alias("id_a"), F.col("words").alias("wa"),
+                   F.col("n_words").alias("na"))
+    sb = fp.select(F.col("fp_id").alias("id_b"), F.col("words").alias("wb"),
+                   F.col("n_words").alias("nb"))
+    aligned = (
+        modal.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("skip_a", F.greatest(-F.col("off"), F.lit(0)))
+        .withColumn("skip_b", F.greatest(F.col("off"), F.lit(0)))
+        .withColumn(
+            "overlap",
+            F.least(F.col("na") - F.col("skip_a"), F.col("nb") - F.col("skip_b")),
+        )
+        .filter(F.col("overlap") >= min_words)
+        .withColumn(
+            "hamming",
+            F.expr(
+                "CAST(aggregate(zip_with("
+                "  slice(wa, skip_a + 1, overlap),"
+                "  slice(wb, skip_b + 1, overlap),"
+                "  (x, y) -> bit_count(x ^ y)), 0, (s, v) -> s + v) AS DOUBLE)"
+            ) / (16.0 * F.col("overlap").cast("double")),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return aligned.select(
+        F.col("id_a").alias("clip_1"),
+        F.col("id_b").alias("clip_2"),
+        F.col("off").alias("offset_words"),
+        F.col("overlap").alias("overlap_words"),
+        "hamming",
     )

@@ -337,6 +337,22 @@ def scaled_pcm16(pcm) -> "np.ndarray":
     ).astype(np.int16)
 
 
+def shifted_scaled_pcm16(pcm, s_words: int) -> "np.ndarray":
+    """The time-shifted near-dup copy: `s_words` fingerprint hops of
+    digital-silence leader prepended, then the 0.7x requantization.  The
+    shift is a whole number of FP_HOP frames, so every content frame of
+    the copy is sample-identical (pre-gain) to a frame of the original —
+    the copy's fingerprint is the original's shifted by exactly s_words
+    positions, modulo the same rare quantization bit flips as
+    scaled_pcm16.  Shared by the Spark fan-out and the numpy oracle."""
+    import numpy as np
+
+    from ..functions import audiofeat as af
+
+    pad = np.zeros(s_words * af.FP_HOP, dtype=np.int16)
+    return scaled_pcm16(np.concatenate([pad, np.asarray(pcm, dtype=np.int16)]))
+
+
 def fp_pair_row(clip_id: str, raw: bytes) -> tuple:
     """(clip_1, clip_2, hamming, eligible) for one clip index: the
     original vs its scaled requantized copy.  hamming is the exact

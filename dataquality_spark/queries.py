@@ -3170,6 +3170,128 @@ _q(
 )
 
 
+N_OFFSET = 180  # clips_offset_align_dups corpus size (x2 with shifted copies)
+
+
+def _clips_offset_align_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-invariant audio near-dup detection — the copy class the
+    chunk-hash banding of clips_fingerprint_dups structurally misses: a
+    re-upload with a silence leader shares NO frame-aligned chunk with
+    its source.  Per clip the fan-out emits fingerprints for the
+    original AND a 'shft_' variant (4..8 fingerprint hops of leader
+    silence + 0.7x requantization, oracle/clips_cache.py
+    shifted_scaled_pcm16); the matcher (operators/audiodedup.py
+    offset_align_pairs) recovers every planted pair at its exact
+    planted offset via inverted-index offset voting + native aligned
+    hamming.  The oracle is purely analytic: DuckDB re-derives the full
+    expected pair set — ids, offsets, overlap lengths — from clip-index
+    arithmetic alone (duration grid -> word counts, k-residue
+    eligibility), so the detector is checked against an independent
+    closed-form expectation, not against itself.
+
+    Semantics provenance: the reference gates near-dups on metadata
+    then verifies content (metadata.py:560-597); this is the
+    payload-level analog for time-shifted re-publications."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .functions import audiofeat as af
+    from .functions.audio import decode_wav_pcm16
+    from .operators.audiodedup import OFF_MAX_HAMMING, offset_align_pairs
+    from .oracle.clips_cache import shifted_scaled_pcm16
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    dec = decode_wav_pcm16(bytes(raw))
+                except ValueError:
+                    continue
+                x = dec.pcm.astype(np.float64) / 32767.0
+                if not x.size or float(np.sqrt(np.mean(x * x))) <= af.VAD_RMS_THRESH:
+                    continue
+                suffix = cid.split("_")[1]
+                s = 4 + int(suffix) % 5
+                variants = (
+                    (cid, dec.pcm),
+                    (f"shft_{suffix}", shifted_scaled_pcm16(dec.pcm, s)),
+                )
+                for fid, pcm in variants:
+                    w = af.band_fingerprint(
+                        pcm.astype(np.float64) / 32767.0, dec.sr_hz
+                    ).astype(np.int64)
+                    if w.size < 2:
+                        continue
+                    big = (w[:-1] << 16) | w[1:]
+                    rows.append((fid, int(w.size),
+                                 [int(v) for v in w], [int(v) for v in big]))
+            yield pd.DataFrame(rows, columns=["fp_id", "n_words", "words", "bigrams"])
+
+    clips = clips_df(spark, N_OFFSET, run_ts=DEFAULT_RUN_TS)
+    fp = clips.select("clip_id", "bytes").mapInPandas(
+        fps,
+        schema="fp_id string, n_words int, words array<int>, bigrams array<bigint>",
+    )
+    pairs = offset_align_pairs(fp)
+    return pairs.select(
+        "clip_1",
+        "clip_2",
+        F.col("offset_words").cast("int").alias("offset_words"),
+        F.col("overlap_words").cast("int").alias("overlap_words"),
+        (F.col("hamming") <= F.lit(OFF_MAX_HAMMING)).cast("int").alias("ham_ok"),
+    ).orderBy("clip_1", "clip_2")
+
+
+def _sql_offset_align_oracle(n: int) -> str:
+    """Closed-form expected pair set from clip-index arithmetic: the
+    duration grid (datagen/clips.py _dur_ms) gives the word count
+    n_words = 1 + (16*dur_ms - 1024) // 512; a pair is expected iff the
+    clip decodes (k != 23), is voiced (k != 25), and its aligned
+    overlap (= the original's word count) clears OFF_MIN_WORDS; its
+    offset is the planted shift 4 + i%5."""
+    return f"""
+WITH b AS (
+  SELECT CAST(x AS INT) AS i,
+         CAST(x AS INT) % 100 AS k,
+         300 + (37 * (CAST(x AS INT) % 97) + 13 * (CAST(x AS INT) % 100)) % 1200
+           AS dur_ms,
+         4 + CAST(x AS INT) % 5 AS s
+  FROM range({n}) t(x)
+), w AS (
+  SELECT *, CAST(1 + (16 * dur_ms - 1024) // 512 AS INT) AS n_words FROM b
+)
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_1,
+       'shft_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_2,
+       CAST(s AS INT) AS offset_words,
+       n_words AS overlap_words,
+       CAST(1 AS INT) AS ham_ok
+FROM w
+WHERE k NOT IN (23, 25) AND n_words >= 14
+ORDER BY clip_1, clip_2
+"""
+
+
+_q(
+    "clips_offset_align_dups",
+    fn=_clips_offset_align_dups,
+    oracle=_sql_offset_align_oracle(N_OFFSET),
+    doc="Offset-invariant audio near-dup detection: inverted-index "
+        "offset voting over fingerprint bigrams + native aligned-hamming "
+        "verify recovers time-shifted (silence-leader) requantized "
+        "copies that frame-aligned chunk hashing cannot. Oracle is a "
+        "pure closed-form DuckDB expectation (ids, offsets, overlaps "
+        "from index arithmetic) — zero shared computation with the "
+        "detector.",
+    tags=("clips", "audio", "dedup"),
+)
+
+
 # --------------------------------------------------------------------------
 # Public surface consumed by __spark_entry__.py
 # --------------------------------------------------------------------------
