@@ -3170,6 +3170,81 @@ _q(
 )
 
 
+def _sql_span_boilerplate(d: str) -> str:
+    """C4-style duplicated-span (boilerplate) removal: fixed 8-token
+    non-overlapping spans are hashed (integer fold over the per-token
+    polynomial hashes — computed once per token, not once per span
+    occurrence); a span is boilerplate when it occurs in >= 2 distinct
+    documents; per document the query reports span counts, the
+    token count surviving removal, and the boilerplate fraction.
+
+    100 TB: the span-hash groupBy is map-side combinable; the
+    boilerplate set join is a plain equi-join on the hash (AQE
+    broadcast when small); raw text never moves — only (doc_id, hash)
+    rows shuffle.  The spanrows CTE is referenced twice, which Catalyst
+    inlines into two evaluations of the token/span hashing — a 2x
+    recompute accepted here for the oracle's dual-dialect parity (the
+    operator form would persist the span table)."""
+    if d == "spark":
+        ths = f"transform(toks, t -> {_polyhash('spark', 't')})"
+        n_tok = "CAST(size(toks) AS BIGINT)"
+        n_spans = "CAST(size(toks) div 8 AS BIGINT)"
+        span_hash = (
+            "aggregate(slice(ths, (j-1)*8 + 1, 8), 0L, "
+            f"(acc, cc) -> (acc*1000003 + cc) % {MOD})"
+        )
+        sh_arr = (
+            "case when n_spans < 1 then array() "
+            f"else transform(sequence(1, CAST(n_spans AS INT)), j -> {span_hash}) end"
+        )
+        spanrows = f"SELECT doc_id, explode({sh_arr}) AS h FROM th"
+    else:
+        ths = f"list_transform(toks, t -> {_polyhash('duck', 't')})"
+        n_tok = "len(toks)::BIGINT"
+        n_spans = "(len(toks) // 8)::BIGINT"
+        span_hash = (
+            "list_reduce(list_prepend(0::BIGINT, "
+            "list_slice(ths, (j-1)*8 + 1, (j-1)*8 + 8)), "
+            f"(acc, cc) -> (acc*1000003 + cc) % {MOD})"
+        )
+        sh_arr = (
+            "CASE WHEN n_spans < 1 THEN [] "
+            f"ELSE list_transform(generate_series(1, n_spans), j -> {span_hash}) END"
+        )
+        spanrows = f"SELECT doc_id, unnest({sh_arr}) AS h FROM th"
+    return f"""
+WITH tok AS (SELECT doc_id, {_tokens(d, 'text')} AS toks FROM documents),
+th AS (SELECT doc_id, {ths} AS ths, {n_tok} AS n_tok, {n_spans} AS n_spans
+       FROM tok),
+spanrows AS ({spanrows}),
+boiler AS (SELECT h FROM spanrows GROUP BY h
+           HAVING count(DISTINCT doc_id) >= 2),
+bcnt AS (SELECT s.doc_id, count(*) AS n_boiler
+         FROM spanrows s JOIN boiler b ON s.h = b.h GROUP BY s.doc_id)
+SELECT th.doc_id,
+       th.n_spans,
+       coalesce(bcnt.n_boiler, 0) AS n_boiler_spans,
+       th.n_tok - 8 * coalesce(bcnt.n_boiler, 0) AS tokens_kept,
+       round(CASE WHEN th.n_spans = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE {_div('coalesce(bcnt.n_boiler, 0)', 'th.n_spans')}
+             END, 4) AS boiler_frac
+FROM th LEFT JOIN bcnt ON th.doc_id = bcnt.doc_id
+ORDER BY th.doc_id
+"""
+
+
+_q(
+    "doc_span_boilerplate",
+    spark_sql=_sql_span_boilerplate("spark"),
+    oracle=_sql_span_boilerplate("duck"),
+    doc="C4-style boilerplate-span removal: 8-token non-overlapping span "
+        "hashes, spans occurring in >= 2 distinct docs are boilerplate, "
+        "per-doc surviving-token counts + boilerplate fraction. Map-side-"
+        "combinable hash groupBy + equi-join; raw text never shuffles.",
+    tags=("text", "dedup"),
+)
+
+
 N_OFFSET = 180  # clips_offset_align_dups corpus size (x2 with shifted copies)
 
 

@@ -24,6 +24,7 @@ SUBSET = [
     "orders_status_rollup",
     "events_asof_last_click",
     "events_flexible_date_parse",
+    "doc_span_boilerplate",
 ]
 
 
