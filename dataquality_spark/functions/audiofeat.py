@@ -254,3 +254,24 @@ def hamming_frac(a: np.ndarray, b: np.ndarray, n_bits: int = FP_N_BANDS - 1) -> 
     lut = np.array([bin(v).count("1") for v in range(256)], dtype=np.uint16)
     diff = lut[x & 0xFF] + lut[(x >> 8) & 0xFF]
     return float(diff.sum()) / float(n_bits * a.size)
+
+
+def trim_zero_frames(pcm: np.ndarray, frame: int = FP_HOP) -> tuple:
+    """Frame-quantized digital-silence trim: remove the longest leading /
+    trailing runs of EXACTLY-zero samples, rounded DOWN to whole frames.
+
+    The frame quantization is what makes the operator deterministic on
+    noisy content: a true content edge can open with a handful of
+    samples that quantize to zero (a sine zero-crossing), but never a
+    whole frame of them — so rounding the zero-run down to frame
+    multiples trims precisely the digital-silence padding and no
+    content.  Returns (trimmed, lead_frames, trail_frames)."""
+    x = np.asarray(pcm)
+    nz = np.flatnonzero(x != 0)
+    if nz.size == 0:
+        lead = (x.size // frame) * frame
+        return x[lead:], lead // frame, 0
+    lead = (int(nz[0]) // frame) * frame
+    trail = (int(x.size - 1 - nz[-1]) // frame) * frame
+    end = x.size - trail
+    return x[lead:end], lead // frame, trail // frame

@@ -3245,6 +3245,103 @@ _q(
 )
 
 
+N_TRIM = 160  # clips_silence_trim corpus size (x2 with padded variants)
+
+
+def _clips_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-trim write-path transform with a bit-exact restore proof:
+    per clip the fan-out builds a padded variant (4..8 leading + 2..4
+    trailing fingerprint hops of digital silence), the frame-quantized
+    exact-zero trim (functions/audiofeat.py trim_zero_frames) removes
+    the padding, and `restored` records crc32 equality between the
+    trimmed variant and the identically-trimmed original — the
+    round-trip guarantee an ingest pipeline needs before it rewrites
+    payload bytes.  The oracle is purely closed-form: expected trim
+    frame counts and restore verdicts come from clip-index arithmetic
+    (planted pad sizes; the k=25 all-silence clip trims to its frame
+    remainder; k=23 fails decode and is routed out)."""
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .functions import audiofeat as af
+    from .functions.audio import decode_wav_pcm16
+
+    def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    dec = decode_wav_pcm16(bytes(raw))
+                except ValueError:
+                    continue
+                i = int(cid.split("_")[1])
+                s, t = 4 + i % 5, 2 + i % 3
+                padded = np.concatenate([
+                    np.zeros(s * af.FP_HOP, dtype=np.int16),
+                    dec.pcm,
+                    np.zeros(t * af.FP_HOP, dtype=np.int16),
+                ])
+                trm, lead, trail = af.trim_zero_frames(padded)
+                base, _, _ = af.trim_zero_frames(dec.pcm)
+                restored = int(
+                    zlib.crc32(trm.tobytes()) == zlib.crc32(base.tobytes())
+                )
+                rows.append((cid, lead, trail, restored))
+            yield pd.DataFrame(
+                rows, columns=["clip_id", "lead_frames", "trail_frames", "restored"]
+            )
+
+    clips = clips_df(spark, N_TRIM, run_ts=DEFAULT_RUN_TS)
+    return clips.select("clip_id", "bytes").mapInPandas(
+        trim,
+        schema="clip_id string, lead_frames int, trail_frames int, restored int",
+    ).orderBy("clip_id")
+
+
+def _sql_silence_trim_oracle(n: int) -> str:
+    """Closed-form: lead = planted 4+i%5 (except the all-silence k=25
+    clip, whose whole padded length floor-divides into lead frames),
+    trail = planted 2+i%3 (0 for k=25), restored = 1 everywhere that
+    decodes."""
+    return f"""
+WITH b AS (
+  SELECT CAST(x AS INT) AS i,
+         CAST(x AS INT) % 100 AS k,
+         300 + (37 * (CAST(x AS INT) % 97) + 13 * (CAST(x AS INT) % 100)) % 1200
+           AS dur_ms,
+         4 + CAST(x AS INT) % 5 AS s,
+         2 + CAST(x AS INT) % 3 AS t
+  FROM range({n}) t(x)
+)
+SELECT 'clip_' || lpad(CAST(i AS VARCHAR), 12, '0') AS clip_id,
+       CAST(CASE WHEN k = 25 THEN (16 * dur_ms) // 512 + s + t ELSE s END
+            AS INT) AS lead_frames,
+       CAST(CASE WHEN k = 25 THEN 0 ELSE t END AS INT) AS trail_frames,
+       CAST(1 AS INT) AS restored
+FROM b WHERE k <> 23
+ORDER BY clip_id
+"""
+
+
+_q(
+    "clips_silence_trim",
+    fn=_clips_silence_trim,
+    oracle=_sql_silence_trim_oracle(N_TRIM),
+    doc="Frame-quantized digital-silence trim with bit-exact restore "
+        "proof: padded variants lose exactly their planted leading/"
+        "trailing pad frames and crc-match the identically-trimmed "
+        "original. Pure closed-form DuckDB oracle from clip-index "
+        "arithmetic.",
+    tags=("clips", "audio", "quality"),
+)
+
+
 N_OFFSET = 180  # clips_offset_align_dups corpus size (x2 with shifted copies)
 
 

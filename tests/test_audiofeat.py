@@ -198,3 +198,32 @@ def test_loudness_rows_clipping_expectations():
     # decode failure emits zeroed rows for both variants
     rows23 = loudness_rows(*[row_for(23)[c] for c in ("clip_id", "bytes")])
     assert [r[2] for r in rows23] == [0, 0]
+
+
+def test_trim_zero_frames_frame_quantized():
+    """Sub-frame zero runs (content zero-crossings) must NOT trim; whole
+    padded frames must trim exactly; all-zero input trims to its
+    sub-frame remainder from the front."""
+    import numpy as np
+
+    from dataquality_spark.functions.audiofeat import trim_zero_frames
+
+    content = np.ones(700, dtype=np.int16)
+    x = np.concatenate([np.zeros(1024, np.int16), content, np.zeros(600, np.int16)])
+    trm, lead, trail = trim_zero_frames(x)
+    assert (lead, trail) == (2, 1)
+    assert trm.size == 1024 + 700 + 600 - 3 * 512
+
+    # sub-frame runs survive untouched
+    x2 = np.concatenate([np.zeros(511, np.int16), content])
+    trm2, lead2, trail2 = trim_zero_frames(x2)
+    assert (lead2, trail2) == (0, 0) and trm2.size == x2.size
+
+    # all-zero: front-trims whole frames, keeps the remainder
+    z = np.zeros(1300, np.int16)
+    trmz, leadz, trailz = trim_zero_frames(z)
+    assert (leadz, trailz) == (2, 0) and trmz.size == 1300 - 1024
+
+    # no zeros anywhere
+    trmc, leadc, trailc = trim_zero_frames(content)
+    assert (leadc, trailc) == (0, 0) and trmc.size == content.size
