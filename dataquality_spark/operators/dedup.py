@@ -617,3 +617,63 @@ def dedup(enriched: DataFrame, buckets: int = 64) -> DedupResult:
         F.desc("similarity"), "clip_1", "clip_2"
     )  # O3
     return DedupResult(flags, duplicate_pairs, similarity_pairs)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation (the Pregel shape on DataFrames).
+
+    ``edges`` carries columns (id_a, id_b); ``nodes`` a single column
+    ``node`` (isolated nodes become their own singleton component).
+    Returns (node, component) where component = min node id reachable.
+
+    Convergence / scale notes:
+
+    * labels only ever DECREASE (``least``), so ``sum(label)`` is a
+      strictly decreasing integer sequence — the driver-side loop stops
+      on the first round where the sum is unchanged.  That fixpoint
+      check is a single scalar aggregate per round, not a join-compare.
+    * each round's frame is ``localCheckpoint``ed: without truncation
+      the logical plan doubles per iteration and Catalyst planning time
+      explodes long before the data does.  On a production cluster this
+      would be a reliable-storage checkpoint instead (lineage must not
+      pin executors at 10^12 rows).
+    * rounds needed = graph diameter, and near-dup graphs are
+      overwhelmingly star/clique-shaped (diameter 2-3); ``max_iters``
+      is a runaway guard, not a tuning knob.  A RuntimeError at the cap
+      is a red flag about the edge set, not something to bump.
+    * every step is an equi-join / keyed aggregation on slim int rows —
+      AQE re-plans the propagation join when components skew.
+    """
+    und = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(labels, und.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels.select("node", F.col("label").alias("component"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )

@@ -3245,6 +3245,158 @@ _q(
 )
 
 
+def _sql_gopher_gate(d: str) -> str:
+    """Gopher-style heuristic rule battery (Rae et al. 2021 §A1.1 shape):
+    document-level keep/drop from cheap token statistics — length
+    bounds, mean token length band, stopword fraction, unique-token
+    fraction.  Complements doc_repetition_signals (within-doc
+    repetition) with the document-shape rules; one scan, map-side
+    expressions only, no joins."""
+    tok = _tokens(d, "text")
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    if d == "spark":
+        sz = "size(toks)"
+        n_stop = f"size(filter(toks, t -> t IN ({stop_in})))"
+        n_uniq = "size(array_distinct(toks))"
+        sum_len = "aggregate(toks, 0L, (s, x) -> s + length(x))"
+    else:
+        sz = "len(toks)"
+        n_stop = f"len(list_filter(toks, t -> t IN ({stop_in})))"
+        n_uniq = "len(list_distinct(toks))"
+        sum_len = ("list_sum(list_prepend(0::BIGINT, "
+                   "list_transform(toks, x -> length(x)::BIGINT)))")
+    return f"""
+WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),
+st AS (SELECT doc_id,
+         CAST({sz} AS BIGINT) AS n_tokens,
+         {_div(sum_len, f'greatest({sz}, 1)')} AS mean_tok_len,
+         {_div(n_stop, f'greatest({sz}, 1)')} AS stop_frac,
+         {_div(n_uniq, f'greatest({sz}, 1)')} AS uniq_frac
+       FROM tok)
+SELECT doc_id, n_tokens,
+       round(mean_tok_len, 4) AS mean_tok_len,
+       round(stop_frac, 4) AS stop_frac,
+       round(uniq_frac, 4) AS uniq_frac,
+       CASE WHEN n_tokens BETWEEN 12 AND 80 THEN 1 ELSE 0 END AS r_len,
+       CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 8.0
+            THEN 1 ELSE 0 END AS r_tok_len,
+       CASE WHEN stop_frac >= 0.03 THEN 1 ELSE 0 END AS r_stop,
+       CASE WHEN uniq_frac >= 0.5 THEN 1 ELSE 0 END AS r_uniq,
+       CASE WHEN (n_tokens BETWEEN 12 AND 80)
+             AND mean_tok_len >= 3.0 AND mean_tok_len <= 8.0
+             AND stop_frac >= 0.03 AND uniq_frac >= 0.5
+            THEN 1 ELSE 0 END AS keep
+FROM st ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_gopher_gate",
+    spark_sql=_sql_gopher_gate("spark"),
+    oracle=_sql_gopher_gate("duck"),
+    doc="Gopher-style document-shape rule battery: token-count bounds, "
+        "mean-token-length band, stopword fraction, unique-token "
+        "fraction, combined keep verdict. Single scan, pure map-side "
+        "expressions.",
+    tags=("text", "quality"),
+)
+
+
+def _fn_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-canonicalize corpus curation: connected components
+    over the verified MinHash/LSH near-dup pair graph (operators/
+    dedup.py connected_components — iterative min-label propagation,
+    localCheckpoint-truncated), each component ranked by the policy's
+    overall quality score so downstream keeps exactly one canonical
+    member per duplicate cluster.  Singletons are their own component.
+    The oracle recomputes the whole thing declaratively: DuckDB's
+    recursive CTE walks the same edge set to min-reachable-id
+    components, then applies the same quality ranking."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import connected_components
+
+    _register(spark, sf_dir)
+    pairs = _fn_minhash_band_pairs(spark, sf_dir).select("id_a", "id_b")
+    docs = spark.table("documents").select(F.col("doc_id").alias("node"))
+    cc = connected_components(pairs, docs)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("component_size"))
+    scores = spark.sql(_sql_quality_policy("spark")).select(
+        "doc_id", "overall_quality_score"
+    )
+    ranked = (
+        cc.select(F.col("node").alias("doc_id"), "component")
+        .join(sizes, "component")
+        .join(scores, "doc_id")
+        .withColumn(
+            "quality_rank",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.col("overall_quality_score").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        "component",
+        "component_size",
+        F.col("quality_rank").cast("int").alias("quality_rank"),
+        (F.col("quality_rank") == 1).cast("int").alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+def _sql_neardup_components(d: str) -> str:
+    """DuckDB-only oracle: recursive-CTE reachability -> min-id
+    components over the same verified near-dup edges, same quality
+    ranking.  (The Spark side is the iterative operator; `d` is
+    accepted for signature symmetry but only 'duck' is ever built.)"""
+    assert d == "duck"
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_sql_minhash_band_pairs('duck')}) t),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+base AS (SELECT doc_id FROM documents),
+walk(node, reach) AS (
+  SELECT doc_id, doc_id FROM base
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+),
+comp AS (SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY node),
+sizes AS (SELECT component, count(*) AS component_size FROM comp GROUP BY component),
+scores AS (SELECT doc_id, overall_quality_score
+           FROM ({_sql_quality_policy('duck')}) t),
+ranked AS (
+  SELECT c.doc_id, c.component, s.component_size,
+         row_number() OVER (
+           PARTITION BY c.component
+           ORDER BY sc.overall_quality_score DESC, c.doc_id ASC
+         ) AS quality_rank
+  FROM comp c
+  JOIN sizes s ON c.component = s.component
+  JOIN scores sc ON c.doc_id = sc.doc_id)
+SELECT doc_id, component, component_size,
+       CAST(quality_rank AS INT) AS quality_rank,
+       CAST(CASE WHEN quality_rank = 1 THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM ranked ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_neardup_components",
+    fn=_fn_neardup_components,
+    oracle=_sql_neardup_components("duck"),
+    doc="Cluster-then-canonicalize curation: connected components over "
+        "the verified MinHash/LSH near-dup graph via iterative min-label "
+        "propagation (localCheckpoint-truncated Pregel shape), ranked by "
+        "policy quality so one canonical member survives per cluster. "
+        "Oracle: DuckDB recursive-CTE reachability over the same edges.",
+    tags=("text", "dedup"),
+)
+
+
 N_TRIM = 160  # clips_silence_trim corpus size (x2 with padded variants)
 
 

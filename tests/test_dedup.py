@@ -72,3 +72,35 @@ def test_dup_of_points_to_representative(dd):
     hot = flags.loc[[f"clip_{i:012d}" for i in range(300) if i % 100 < 5]]
     reps = hot["dup_of"].dropna().unique()
     assert list(reps) == ["clip_000000000000"]
+
+
+def test_connected_components_path_and_singleton(spark):
+    """Min-label propagation: a 5-node path (diameter 4 — needs multiple
+    propagation rounds), a separate triangle, and an isolated node must
+    land in exactly the right components with min-id labels."""
+    from dataquality_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14),   # path
+         (20, 21), (21, 22), (20, 22)],            # triangle
+        "id_a bigint, id_b bigint",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in [10, 11, 12, 13, 14, 20, 21, 22, 99]], "node bigint"
+    )
+    got = {r.node: r.component
+           for r in connected_components(edges, nodes).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 99: 99}
+
+
+def test_connected_components_raises_at_iteration_cap(spark):
+    from dataquality_spark.operators.dedup import connected_components
+
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                  "id_a bigint, id_b bigint")
+    nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 4]], "node bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iters=1)
