@@ -8,10 +8,13 @@ per micro-batch with exactly-once sinks and checkpoint-based resume.
 
 from .pipeline import (
     CLIPS_STREAM_DDL,
+    CORRECTIONS_STREAM_DDL,
     approvals_running_state,
     dedup_stream,
+    join_corrections,
     lang_running_totals,
     read_clip_stream,
+    read_correction_stream,
     run_scoring_query,
     score_clips,
     session_quality_stats,
@@ -20,10 +23,13 @@ from .pipeline import (
 
 __all__ = [
     "CLIPS_STREAM_DDL",
+    "CORRECTIONS_STREAM_DDL",
     "approvals_running_state",
     "read_clip_stream",
+    "read_correction_stream",
     "score_clips",
     "dedup_stream",
+    "join_corrections",
     "windowed_quality_trend",
     "lang_running_totals",
     "session_quality_stats",

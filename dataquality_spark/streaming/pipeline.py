@@ -275,3 +275,47 @@ def run_scoring_query(
         .start()
     )
     q.awaitTermination()
+
+
+CORRECTIONS_STREAM_DDL = (
+    "corr_clip_id string, corrected_transcript string, corr_ts timestamp"
+)
+
+
+def read_correction_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream over a directory of transcript-correction
+    parquet files (the human-review / ASR-retranscription feed)."""
+    return spark.readStream.schema(CORRECTIONS_STREAM_DDL).parquet(input_dir)
+
+
+def join_corrections(
+    clips: DataFrame,
+    corrections: DataFrame,
+    watermark: str = "2 hours",
+    max_lag_expr: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Stream-stream inner join: pair each streaming clip with the
+    re-transcription that arrives on a SEPARATE feed within
+    ``max_lag_expr`` of ingest.
+
+    Both inputs are watermarked and the join condition carries an
+    explicit event-time range, which is what lets Spark bound the join
+    state: a buffered clip can be evicted once the correction-side
+    watermark passes ``ingest_ts + max_lag``, and vice versa — state is
+    O(rows per lag window), not O(stream history).  Without the time
+    bound the state store grows forever; that variant is refused by
+    design here (the range predicate is part of the operator contract).
+
+    Returns one row per (clip, correction) match with both event times
+    and the corrected transcript alongside the original.
+    """
+    c = clips.withWatermark("ingest_ts", watermark)
+    r = corrections.withWatermark("corr_ts", watermark)
+    cond = F.expr(
+        "clip_id = corr_clip_id AND "
+        f"corr_ts >= ingest_ts AND corr_ts <= ingest_ts + {max_lag_expr}"
+    )
+    return c.join(r, cond, "inner").select(
+        "clip_id", "transcript", "corrected_transcript",
+        "ingest_ts", "corr_ts",
+    )

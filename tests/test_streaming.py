@@ -8,6 +8,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from dataquality_spark.datagen.clips import DEFAULT_RUN_TS, clips_df
 from dataquality_spark.streaming import (
@@ -308,3 +309,75 @@ def test_session_window_quality_stats(spark, tmp_path):
     assert got["session_start"].iloc[0] == base
     assert got["session_end"].iloc[0] == base + dt.timedelta(minutes=40)
     assert got["session_start"].iloc[1] == base + dt.timedelta(minutes=120)
+
+
+def test_stream_stream_join_corrections(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range: each
+    clip pairs with corrections arriving within 1 hour of ingest on a
+    separate feed; a correction outside the lag window never matches.
+    Result must equal the identical batch join."""
+    from dataquality_spark.streaming import (
+        join_corrections,
+        read_clip_stream,
+        read_correction_stream,
+    )
+
+    clips_in = str(tmp_path / "clips_in")
+    corr_in = str(tmp_path / "corr_in")
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    clip_rows = [
+        ("c%03d" % i, None, 16000, 1000, "pcm_s16le", f"text {i}",
+         base + dt.timedelta(minutes=10 * i))
+        for i in range(12)
+    ]
+    # corrections: even clips corrected 30 min after ingest (inside lag),
+    # clips 1 and 3 corrected 2 hours after (outside), others never
+    corr_rows = [
+        ("c%03d" % i, f"fixed {i}",
+         base + dt.timedelta(minutes=10 * i + 30))
+        for i in range(0, 12, 2)
+    ] + [
+        ("c%03d" % i, f"late {i}",
+         base + dt.timedelta(minutes=10 * i + 120))
+        for i in (1, 3)
+    ]
+    spark.createDataFrame(
+        clip_rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+        "transcript string, ingest_ts timestamp",
+    ).coalesce(1).write.parquet(clips_in)
+    spark.createDataFrame(
+        corr_rows,
+        "corr_clip_id string, corrected_transcript string, corr_ts timestamp",
+    ).coalesce(1).write.parquet(corr_in)
+
+    joined = join_corrections(
+        read_clip_stream(spark, clips_in),
+        read_correction_stream(spark, corr_in),
+        watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("corr_join")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "select clip_id, corrected_transcript from corr_join order by clip_id"
+    ).toPandas()
+
+    # batch twin over the same inputs and predicate
+    bc = spark.read.parquet(clips_in)
+    br = spark.read.parquet(corr_in)
+    want = (
+        bc.join(
+            br,
+            (bc.clip_id == br.corr_clip_id)
+            & (br.corr_ts >= bc.ingest_ts)
+            & (br.corr_ts <= bc.ingest_ts + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("clip_id", "corrected_transcript")
+        .orderBy("clip_id")
+        .toPandas()
+    )
+    assert got.values.tolist() == want.values.tolist()
+    assert set(got.clip_id) == {"c%03d" % i for i in range(0, 12, 2)}
