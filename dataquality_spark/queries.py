@@ -3241,7 +3241,7 @@ _q(
         "hashes, spans occurring in >= 2 distinct docs are boilerplate, "
         "per-doc surviving-token counts + boilerplate fraction. Map-side-"
         "combinable hash groupBy + equi-join; raw text never shuffles.",
-    tags=("text", "dedup"),
+    tags=("text", "dedup", "bench"),
 )
 
 
@@ -3394,6 +3394,67 @@ _q(
         "policy quality so one canonical member survives per cluster. "
         "Oracle: DuckDB recursive-CTE reachability over the same edges.",
     tags=("text", "dedup"),
+)
+
+
+def _fn_events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over events: bucketize
+    (user_id, day-of-month) to 8 bits each, interleave with the native
+    integer fold (io/layout.py zvalue — the same expression
+    write_zordered clusters files by), and aggregate rows per coarse
+    z-cell (key >> 6).  The oracle recomputes the interleave bit-for-bit
+    in DuckDB, checking the layout operator's key math against an
+    independent engine."""
+    from pyspark.sql import functions as F
+
+    from .io.layout import zvalue
+
+    _register(spark, sf_dir)
+    ev = spark.table("events").select(
+        (F.col("user_id") % 256).alias("xb"),
+        (F.dayofmonth("ts").cast("bigint") % 256).alias("yb"),
+    )
+    keyed = ev.withColumn("z", zvalue(F.col("xb"), F.col("yb"), bits=8))
+    return (
+        keyed.groupBy((F.col("z") / 64).cast("bigint").alias("z_cell"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("z_cell")
+    )
+
+
+def _sql_zorder_cells_oracle() -> str:
+    interleave = (
+        "list_sum(list_transform(range(0, 8), i -> "
+        "(((xb >> i) & 1) << (2*i)) + (((yb >> i) & 1) << (2*i + 1))))"
+    )
+    return f"""
+WITH b AS (
+  SELECT user_id % 256 AS xb,
+         (datepart('day', ts)::BIGINT) % 256 AS yb
+  FROM events
+), k AS (SELECT CAST({interleave} AS BIGINT) AS z FROM b)
+SELECT CAST(z // 64 AS BIGINT) AS z_cell,
+       count(*) AS n_rows,
+       min(z) AS z_min,
+       max(z) AS z_max
+FROM k GROUP BY 1 ORDER BY z_cell
+"""
+
+
+_q(
+    "events_zorder_cells",
+    fn=_fn_events_zorder_cells,
+    oracle=_sql_zorder_cells_oracle(),
+    doc="Z-order clustering keys (Morton interleave of bucketized "
+        "user_id x day) aggregated per coarse cell — the exact key "
+        "expression io/layout.py write_zordered clusters files by, "
+        "cross-checked bit-for-bit against DuckDB's independent "
+        "recompute.",
+    tags=("events", "layout"),
 )
 
 
