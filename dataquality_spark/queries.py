@@ -3458,6 +3458,99 @@ _q(
 )
 
 
+def _sql_tpch_q5(d: str) -> str:
+    """TPC-H Q5 shape (local supplier volume): a 6-table star join where
+    the planner matters — region/nation are broadcast dims, the
+    customer=supplier nation equality closes the cycle, and the
+    orderdate range prunes the fact scan.  Dialect-neutral SQL."""
+    return """
+SELECT n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_lineitems
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+_q(
+    "tpch_q5_local_supplier_volume",
+    spark_sql=_sql_tpch_q5("spark"),
+    oracle=_sql_tpch_q5("duck"),
+    doc="TPC-H Q5 shape: 6-table star join (broadcast dims, fact-scan "
+        "date pruning, customer=supplier nation cycle) -> per-nation "
+        "revenue rollup.",
+    tags=("tpch", "join"),
+)
+
+
+def _sql_value_drift(d: str) -> str:
+    """Per-day distribution-drift monitor over the event value stream —
+    the batch-health check a quality pipeline runs before trusting a
+    day's ingest.  Values are bucketized into 10 fixed bins, each day's
+    bin fractions are compared to the FIRST day's as a Jeffreys-style
+    chi-square divergence sum_i (p_i-q_i)^2/(p_i+q_i) — chosen over PSI
+    because it needs no logarithm: every operation is exact IEEE
+    arithmetic, so Spark and DuckDB agree bit-for-bit.  Shape: two
+    map-side-combinable groupBys + a broadcast-sized baseline join."""
+    day = _fmt_day(d, "ts")
+    return f"""
+WITH b AS (
+  SELECT {day} AS day,
+         CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT) AS bin
+  FROM events
+),
+cnt AS (SELECT day, bin, count(*) AS c FROM b GROUP BY day, bin),
+tot AS (SELECT day, count(*) AS n FROM b GROUP BY day),
+frac AS (
+  SELECT cnt.day, cnt.bin, {_div('cnt.c', 'tot.n')} AS p
+  FROM cnt JOIN tot ON cnt.day = tot.day
+),
+base AS (
+  SELECT bin, p AS q FROM frac
+  WHERE day = (SELECT min(day) FROM tot)
+),
+terms AS (
+  SELECT f.day,
+         CASE WHEN f.p + coalesce(base.q, CAST(0 AS DOUBLE)) = 0
+              THEN CAST(0 AS DOUBLE)
+              ELSE (f.p - coalesce(base.q, CAST(0 AS DOUBLE)))
+                   * (f.p - coalesce(base.q, CAST(0 AS DOUBLE)))
+                   / (f.p + coalesce(base.q, CAST(0 AS DOUBLE)))
+         END AS t
+  FROM frac f LEFT JOIN base ON f.bin = base.bin
+)
+SELECT terms.day,
+       tot.n AS n_events,
+       round(sum(t), 6) AS drift_stat,
+       CAST(CASE WHEN sum(t) > 0.015 THEN 1 ELSE 0 END AS INT) AS is_drifted
+FROM terms JOIN tot ON terms.day = tot.day
+GROUP BY terms.day, tot.n
+ORDER BY terms.day
+"""
+
+
+_q(
+    "events_value_drift",
+    spark_sql=_sql_value_drift("spark"),
+    oracle=_sql_value_drift("duck"),
+    doc="Per-day distribution drift vs the first day's baseline: "
+        "bucketized value stream, Jeffreys chi-square divergence "
+        "(log-free, bit-exact across engines), drift verdict per day. "
+        "Map-side-combinable groupBys + broadcast baseline join.",
+    tags=("events", "quality"),
+)
+
+
 N_TRIM = 160  # clips_silence_trim corpus size (x2 with padded variants)
 
 
