@@ -3551,6 +3551,101 @@ _q(
 )
 
 
+def _sql_funnel(d: str) -> str:
+    """Ordered 3-step funnel (view -> click -> purchase): per user the
+    earliest view, the earliest click AFTER that view, the earliest
+    purchase AFTER that click; per step, reached-user counts and
+    conversion from the previous step.  Sequential-min joins — each
+    step is an equi-join on user_id plus a time predicate, all
+    map-side-combinable aggregations, no windows."""
+    return f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+agg AS (
+  SELECT (SELECT count(*) FROM v) AS n_view,
+         (SELECT count(*) FROM c) AS n_click,
+         (SELECT count(*) FROM p) AS n_purchase
+)
+SELECT step, n_users, round(conv, 4) AS conversion FROM (
+  SELECT 1 AS step, 'view' AS _nm, n_view AS n_users,
+         CAST(1 AS DOUBLE) AS conv FROM agg
+  UNION ALL
+  SELECT 2, 'click', n_click, {_div('n_click', 'n_view')} FROM agg
+  UNION ALL
+  SELECT 3, 'purchase', n_purchase, {_div('n_purchase', 'n_click')} FROM agg
+) t ORDER BY step
+"""
+
+
+_q(
+    "events_funnel_3step",
+    spark_sql=_sql_funnel("spark"),
+    oracle=_sql_funnel("duck"),
+    doc="Ordered 3-step funnel via sequential-min joins (earliest view, "
+        "earliest click after it, earliest purchase after that), with "
+        "per-step user counts and conversion rates.",
+    tags=("events",),
+)
+
+
+def _sql_pack_sequences(d: str) -> str:
+    """GPT-style training-sequence packing: documents are concatenated
+    in doc_id order WITHIN a shard (bucket) and chunked into fixed
+    4096-token sequences; each doc reports its sequence span and
+    whether it straddles a boundary.  The window is partitioned by the
+    shard key — packing is embarrassingly parallel across shards, which
+    is exactly how production packers scale (a global pack order would
+    be a single-partition sort); the 16 test shards stand in for the
+    thousands a 100 TB corpus would use."""
+    tok = _tokens(d, "text")
+    sz = "size(toks)" if d == "spark" else "len(toks)"
+    idiv = "div" if d == "spark" else "//"
+    return f"""
+WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents),
+n AS (SELECT doc_id, CAST(doc_id % 16 AS BIGINT) AS bucket,
+             CAST({sz} AS BIGINT) AS n_tokens FROM tok),
+cum AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_end
+  FROM n
+)
+SELECT doc_id, bucket, n_tokens,
+       cum_end - n_tokens AS start_tok,
+       CAST((cum_end - n_tokens) {idiv} 4096 AS BIGINT) AS seq_start,
+       CAST((cum_end - 1) {idiv} 4096 AS BIGINT) AS seq_end,
+       CAST(CASE WHEN (cum_end - n_tokens) {idiv} 4096
+                      <> (cum_end - 1) {idiv} 4096
+                 THEN 1 ELSE 0 END AS INT) AS spans_boundary
+FROM cum ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_pack_sequences",
+    spark_sql=_sql_pack_sequences("spark"),
+    oracle=_sql_pack_sequences("duck"),
+    doc="Training-sequence packing: concat-in-order-then-chunk into "
+        "4096-token sequences within each shard (shard-partitioned "
+        "window cumsum — embarrassingly parallel, no global sort); "
+        "per-doc sequence span + boundary-straddle flag.",
+    tags=("text",),
+)
+
+
 N_TRIM = 160  # clips_silence_trim corpus size (x2 with padded variants)
 
 

@@ -25,6 +25,9 @@ SUBSET = [
     "events_asof_last_click",
     "events_flexible_date_parse",
     "doc_span_boilerplate",
+    "doc_pack_sequences",
+    "tpch_q5_local_supplier_volume",
+    "events_value_drift",
 ]
 
 
