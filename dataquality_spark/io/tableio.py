@@ -151,6 +151,7 @@ def read_table(
     table_dir: str,
     manifest: Manifest,
     as_of_sequence: int | None = None,
+    merge_schema: bool = True,
 ) -> DataFrame:
     """Read ONLY manifest-committed batches (uncommitted = invisible,
     exactly Iceberg's read isolation).
@@ -164,7 +165,15 @@ def read_table(
     can leave a batch id empty, and ``partitionBy`` writes no dir for an
     empty partition — the manifest entry (n_rows=0) is still the record
     that the batch was processed, so missing dirs are skipped, not
-    errors."""
+    errors.
+
+    ``merge_schema`` (default True) makes reads schema-evolution-safe:
+    without it Spark infers the table schema from ONE parquet footer, so
+    columns added by later batches silently vanish when an old file is
+    sampled.  With it, old rows surface the new columns as null — the
+    Iceberg add-column semantics.  The cost is a footer read per file
+    (metadata-only); pass False on hot paths where the schema is known
+    frozen."""
     entries = manifest.entries()
     if as_of_sequence is not None:
         entries = [e for e in entries if e["sequence_number"] <= as_of_sequence]
@@ -184,4 +193,8 @@ def read_table(
             f"manifest lists batches {committed} but no batch directories "
             f"exist under {table_dir}"
         )
-    return spark.read.option("basePath", table_dir).parquet(*paths)
+    return (
+        spark.read.option("basePath", table_dir)
+        .option("mergeSchema", "true" if merge_schema else "false")
+        .parquet(*paths)
+    )

@@ -3646,6 +3646,50 @@ _q(
 )
 
 
+def _sql_mrl_truncate(d: str) -> str:
+    """Matryoshka-style dimension truncation QC: rank the corpus against
+    the probe by full-dimension cosine AND by cosine over the first 16
+    dims only, and report, for the full top-10, whether each neighbor
+    survives in the truncated top-10.  The production question this
+    answers: how much recall does the cheap prefix index lose before
+    the full-dim re-rank.  Truncated search at scale runs over 16-float
+    rows (a ~#dims/16 scan-size cut) with the same broadcast-probe
+    shape as emb_cosine_topk."""
+    sl = "slice" if d == "spark" else "list_slice"
+    cos_full = _cos(d, "p.embedding", "e.embedding")
+    cos_tr = _cos(d, f"{sl}(p.embedding, 1, 16)", f"{sl}(e.embedding, 1, 16)")
+    return f"""
+WITH scored AS (
+  SELECT e.vec_id, {cos_full} AS cf, {cos_tr} AS ct
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+  WHERE e.vec_id <> 0
+),
+full_topk AS (SELECT vec_id, cf, ct FROM scored
+              ORDER BY cf DESC, vec_id LIMIT 10),
+trunc_topk AS (SELECT vec_id FROM scored
+               ORDER BY ct DESC, vec_id LIMIT 10)
+SELECT f.vec_id,
+       round(f.cf, 6) AS cos_full,
+       round(f.ct, 6) AS cos_trunc,
+       CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         AS in_trunc_top10
+FROM full_topk f LEFT JOIN trunc_topk t ON f.vec_id = t.vec_id
+ORDER BY cos_full DESC, f.vec_id
+"""
+
+
+_q(
+    "emb_mrl_truncate",
+    spark_sql=_sql_mrl_truncate("spark"),
+    oracle=_sql_mrl_truncate("duck"),
+    doc="Matryoshka truncation QC: full-dim top-10 vs first-16-dims "
+        "top-10 for the broadcast probe, with survival flags — measures "
+        "the recall a cheap prefix index loses before full-dim re-rank.",
+    tags=("ann",),
+)
+
+
 N_TRIM = 160  # clips_silence_trim corpus size (x2 with padded variants)
 
 

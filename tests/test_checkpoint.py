@@ -173,3 +173,41 @@ def test_time_travel_read_as_of_sequence(spark, tmp_path):
     # before any commit -> error, same as an empty table
     with pytest.raises(ValueError, match="at sequence -1"):
         read_table(spark, d + "/enriched", m, as_of_sequence=-1)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg add-column semantics: a later batch writes an extra
+    column; the merged read surfaces it (null for pre-evolution rows),
+    and time-travel to the pre-evolution snapshot shows the old
+    schema's data untouched."""
+    import os
+
+    from dataquality_spark.io.tableio import read_table
+
+    d = str(tmp_path / "evo")
+    table = d + "/t"
+    m = Manifest(table)
+
+    os.makedirs(table, exist_ok=True)
+    spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string") \
+        .coalesce(1).write.parquet(table + "/batch_id=0")
+    m.commit(0, {"n_rows": 2})
+    spark.createDataFrame([(3, "c", 9.5)], "id bigint, v string, score double") \
+        .coalesce(1).write.parquet(table + "/batch_id=1")
+    m.commit(1, {"n_rows": 1})
+
+    full = read_table(spark, table, m)
+    assert set(full.columns) >= {"id", "v", "score"}
+    rows = {r.id: r for r in full.collect()}
+    assert rows[1].score is None and rows[3].score == 9.5
+
+    # pre-evolution snapshot: old schema, no phantom column requirement
+    seq0 = sorted(m.entries(), key=lambda e: e["sequence_number"])[0][
+        "sequence_number"
+    ]
+    early = read_table(spark, table, m, as_of_sequence=seq0)
+    assert early.count() == 2 and "score" not in early.columns
+
+    # frozen-schema read path still works when evolution is off: the
+    # inferred schema comes from one footer, so only assert row count
+    assert read_table(spark, table, m, merge_schema=False).count() == 3
