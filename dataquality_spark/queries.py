@@ -3574,18 +3574,20 @@ p AS (
   WHERE e.event_type = 'purchase' GROUP BY e.user_id
 ),
 agg AS (
-  SELECT (SELECT count(*) FROM v) AS n_view,
-         (SELECT count(*) FROM c) AS n_click,
-         (SELECT count(*) FROM p) AS n_purchase
-)
-SELECT step, n_users, round(conv, 4) AS conversion FROM (
-  SELECT 1 AS step, 'view' AS _nm, n_view AS n_users,
-         CAST(1 AS DOUBLE) AS conv FROM agg
-  UNION ALL
-  SELECT 2, 'click', n_click, {_div('n_click', 'n_view')} FROM agg
-  UNION ALL
-  SELECT 3, 'purchase', n_purchase, {_div('n_purchase', 'n_click')} FROM agg
-) t ORDER BY step
+  SELECT count(*) AS n_view, count(c.user_id) AS n_click,
+         count(p.user_id) AS n_purchase
+  FROM v LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id
+),
+steps AS (SELECT 1 AS step UNION ALL SELECT 2 UNION ALL SELECT 3)
+SELECT s.step,
+       CASE s.step WHEN 1 THEN n_view WHEN 2 THEN n_click
+                   ELSE n_purchase END AS n_users,
+       round(CASE s.step WHEN 1 THEN CAST(1 AS DOUBLE)
+                         WHEN 2 THEN {_div('n_click', 'n_view')}
+                         ELSE {_div('n_purchase', 'n_click')} END, 4)
+         AS conversion
+FROM agg CROSS JOIN steps s ORDER BY s.step
 """
 
 
@@ -3686,6 +3688,70 @@ _q(
     doc="Matryoshka truncation QC: full-dim top-10 vs first-16-dims "
         "top-10 for the broadcast probe, with survival flags — measures "
         "the recall a cheap prefix index loses before full-dim re-rank.",
+    tags=("ann",),
+)
+
+
+def _sql_binary_quant(d: str) -> str:
+    """Binary-quantization ANN QC: pack each 64-dim embedding's sign
+    bits into two 32-bit words (two, not one — bit 63 of a BIGINT is
+    the sign bit and ANSI arithmetic would overflow packing it), rank
+    by Hamming distance to the probe via native bit_count(xor), and
+    report which Hamming top-10 neighbors are also full-cosine top-10.
+    The production shape: a 64x-smaller bit index scanned first, full
+    vectors touched only for the re-rank — same broadcast-probe DAG as
+    emb_cosine_topk."""
+    if d == "spark":
+        def pack(vec: str, off: int) -> str:
+            return (
+                f"aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> "
+                f"acc + CASE WHEN element_at({vec}, i + {off}) > CAST(0 AS FLOAT) "
+                f"THEN shiftleft(CAST(1 AS BIGINT), i - 1) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        ham = ("CAST(bit_count(p.w1 ^ q.w1) + bit_count(p.w2 ^ q.w2) AS INT)")
+    else:
+        def pack(vec: str, off: int) -> str:
+            return (
+                f"CAST(list_sum(list_transform(range(1, 33), i -> "
+                f"CASE WHEN {vec}[i + {off}] > 0 "
+                f"THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS BIGINT)"
+            )
+        ham = ("CAST(bit_count(xor(p.w1, q.w1)) + bit_count(xor(p.w2, q.w2)) "
+               "AS INT)")
+    cos = _cos(d, "p.embedding", "q.embedding")
+    return f"""
+WITH packed AS (
+  SELECT vec_id, embedding,
+         {pack('embedding', 0)} AS w1,
+         {pack('embedding', 32)} AS w2
+  FROM embeddings
+),
+scored AS (
+  SELECT p.vec_id, {ham} AS hamming, {cos} AS cf
+  FROM packed p CROSS JOIN (SELECT * FROM packed WHERE vec_id = 0) q
+  WHERE p.vec_id <> 0
+),
+ham_topk AS (SELECT vec_id, hamming, cf FROM scored
+             ORDER BY hamming ASC, vec_id LIMIT 10),
+cos_topk AS (SELECT vec_id FROM scored ORDER BY cf DESC, vec_id LIMIT 10)
+SELECT h.vec_id, h.hamming,
+       round(h.cf, 6) AS cos_full,
+       CAST(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+         AS in_cos_top10
+FROM ham_topk h LEFT JOIN cos_topk c ON h.vec_id = c.vec_id
+ORDER BY h.hamming ASC, h.vec_id
+"""
+
+
+_q(
+    "emb_binary_quant_topk",
+    spark_sql=_sql_binary_quant("spark"),
+    oracle=_sql_binary_quant("duck"),
+    doc="Binary-quantization ANN: sign bits packed into two 32-bit "
+        "words, Hamming ranking via native bit_count(xor), overlap "
+        "flags against the full-cosine top-10 — the 64x-smaller bit "
+        "index + full-vector re-rank pattern.",
     tags=("ann",),
 )
 
