@@ -3756,6 +3756,48 @@ _q(
 )
 
 
+def _sql_cohort_retention(d: str) -> str:
+    """Cohort retention triangle: users grouped by first-activity day,
+    fraction still active k days later (k = 0..7).  Two
+    map-side-combinable aggregations (first-day per user, distinct
+    active days) + an equi-join on user — the heaviest is the distinct,
+    which partial-aggregates before the shuffle."""
+    if d == "spark":
+        ddiff = "datediff(a.d, f.d0)"
+    else:
+        ddiff = "datediff('day', f.d0, a.d)"
+    day_fmt = _fmt_day(d, "j.d0")
+    return f"""
+WITH firstd AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+j AS (
+  SELECT f.d0, CAST({ddiff} AS INT) AS k
+  FROM act a JOIN firstd f ON a.user_id = f.user_id
+  WHERE {ddiff} BETWEEN 0 AND 7
+),
+cohort_size AS (SELECT d0, count(*) AS n0 FROM firstd GROUP BY d0)
+SELECT {day_fmt} AS cohort_day, j.k AS day_offset,
+       count(*) AS n_active,
+       round({_div('count(*)', 'c.n0')}, 4) AS retention
+FROM j JOIN cohort_size c ON j.d0 = c.d0
+GROUP BY {day_fmt}, j.k, c.n0
+ORDER BY cohort_day, day_offset
+"""
+
+
+_q(
+    "events_cohort_retention",
+    spark_sql=_sql_cohort_retention("spark"),
+    oracle=_sql_cohort_retention("duck"),
+    doc="Cohort retention triangle: first-activity-day cohorts, "
+        "fraction active k days later (k=0..7). Partial-aggregated "
+        "distinct + equi-joins, no windows.",
+    tags=("events",),
+)
+
+
 N_TRIM = 160  # clips_silence_trim corpus size (x2 with padded variants)
 
 
