@@ -119,8 +119,8 @@ def main() -> None:
     )
 
     t0 = time.time()
-    ofp = cached(offset_fingerprints(clips))
-    _force(offset_align_pairs(ofp))
+    # offset_align_pairs persists its fingerprint input internally
+    _force(offset_align_pairs(offset_fingerprints(clips)))
     timings["audio_offset_align_dedup"] = round(time.time() - t0, 3)
     release_all()
 

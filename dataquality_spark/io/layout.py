@@ -86,6 +86,16 @@ def file_bboxes(path: str, x_col: str, y_col: str) -> list:
         for rg in range(md.num_row_groups):
             xs = md.row_group(rg).column(idx[x_col]).statistics
             ys = md.row_group(rg).column(idx[y_col]).statistics
+            if (
+                xs is None or ys is None
+                or not xs.has_min_max or not ys.has_min_max
+            ):
+                # a stats-less row group makes the whole file unprunable
+                # on these columns — the honest bbox is "unknown", which
+                # an engine treats as always-hit; callers see that as a
+                # degenerate, file-spanning rectangle
+                xmin = xmax = ymin = ymax = None
+                break
             xmin = xs.min if xmin is None else min(xmin, xs.min)
             xmax = xs.max if xmax is None else max(xmax, xs.max)
             ymin = ys.min if ymin is None else min(ymin, ys.min)
@@ -100,6 +110,7 @@ def skip_fraction(bboxes: list, x_pred: int, y_pred: int) -> float:
     hit = sum(
         1
         for xmin, xmax, ymin, ymax in bboxes
-        if xmin <= x_pred <= xmax and ymin <= y_pred <= ymax
+        if xmin is None  # stats-less file: engines must read it
+        or (xmin <= x_pred <= xmax and ymin <= y_pred <= ymax)
     )
     return 1.0 - hit / max(len(bboxes), 1)

@@ -136,6 +136,23 @@ OFF_MIN_WORDS = 14     # min aligned overlap (words); 13 possible votes
 OFF_MAX_HAMMING = 0.05  # verify: bit-flip budget at the aligned overlap
 
 
+def bigram_fp_row(pcm, sr: int):
+    """Shared pcm16 -> (n_words, words, bigrams) packing for the
+    offset-invariant matcher.  ONE definition of the bigram key — the
+    operator's fingerprint pass and the catalog query's variant fan-out
+    (queries.py _clips_offset_align_dups) both call this, so the key
+    scheme cannot silently diverge between them.  Returns None when the
+    clip yields fewer than 2 fingerprint words."""
+    import numpy as np
+
+    x = np.asarray(pcm).astype(np.float64) / 32767.0
+    w = af.band_fingerprint(x, sr).astype(np.int64)
+    if w.size < 2:
+        return None
+    big = (w[:-1] << 16) | w[1:]
+    return int(w.size), [int(v) for v in w], [int(v) for v in big]
+
+
 def offset_fingerprints(clips: DataFrame, id_col: str = "clip_id") -> DataFrame:
     """clip_id/bytes -> (fp_id, n_words, words, bigrams) rows for the
     offset-invariant matcher.  `bigrams[j] = words[j]<<16 | words[j+1]`
@@ -161,16 +178,10 @@ def offset_fingerprints(clips: DataFrame, id_col: str = "clip_id") -> DataFrame:
                 x = dec.pcm.astype(np.float64) / 32767.0
                 if not x.size or float(np.sqrt(np.mean(x * x))) <= af.VAD_RMS_THRESH:
                     continue
-                w = af.band_fingerprint(x, dec.sr_hz).astype(np.int64)
-                if w.size < 2:
+                row = bigram_fp_row(dec.pcm, dec.sr_hz)
+                if row is None:
                     continue
-                big = (w[:-1] << 16) | w[1:]
-                rows.append((
-                    cid,
-                    int(w.size),
-                    [int(v) for v in w],
-                    [int(v) for v in big],
-                ))
+                rows.append((cid, *row))
             yield pd.DataFrame(rows, columns=["fp_id", "n_words", "words", "bigrams"])
 
     return clips.select(F.col(id_col).alias(id_col), "bytes").mapInPandas(
@@ -207,8 +218,16 @@ def offset_align_pairs(
     100 TB: bytes never reach this operator (offset_fingerprints
     consumed them on the scan partitions); postings are 3-column slim
     rows; every join is an equi-join AQE can re-plan for skew; the
-    df-cap bounds the worst bucket.  Returns (clip_1, clip_2,
-    offset_words, overlap_words, hamming)."""
+    df-cap bounds the worst bucket.  ``fp`` is consumed FOUR times
+    (postings twice via the self-join, df-cap counts, both verify
+    sides), so it is persisted here through caching.cached() — when it
+    is a decode+FFT mapInPandas fan-out, an unpersisted plan would
+    recompute that work per consumer.  Released by the standard
+    release_all lifecycle.  Returns (clip_1, clip_2, offset_words,
+    overlap_words, hamming)."""
+    from ..caching import cached
+
+    fp = cached(fp)
     posts = fp.select(
         "fp_id", F.posexplode("bigrams").alias("pos", "key")
     ).filter(F.col("key") != 0)

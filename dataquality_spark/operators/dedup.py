@@ -634,9 +634,13 @@ def connected_components(
     Convergence / scale notes:
 
     * labels only ever DECREASE (``least``), so ``sum(label)`` is a
-      strictly decreasing integer sequence — the driver-side loop stops
-      on the first round where the sum is unchanged.  That fixpoint
-      check is a single scalar aggregate per round, not a join-compare.
+      strictly decreasing sequence — the driver-side loop stops on the
+      first round where the sum is unchanged.  That fixpoint check is a
+      single scalar aggregate per round, not a join-compare.  The sum
+      runs over DECIMAL(38,0): 10^12 nodes carrying 64-bit hash ids sum
+      to ~10^31, which overflows a BIGINT (ANSI abort — or worse, a
+      silent wrap that could fake convergence) but fits DECIMAL
+      exactly.
     * each round's frame is ``localCheckpoint``ed: without truncation
       the logical plan doubles per iteration and Catalyst planning time
       explodes long before the data does.  On a production cluster this
@@ -655,7 +659,13 @@ def connected_components(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         nbr_min = (
             und.join(labels, und.src == labels.node)
@@ -670,7 +680,7 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("component"))
         prev_sum = cur_sum

@@ -3273,20 +3273,21 @@ st AS (SELECT doc_id,
          {_div(n_stop, f'greatest({sz}, 1)')} AS stop_frac,
          {_div(n_uniq, f'greatest({sz}, 1)')} AS uniq_frac
        FROM tok)
-SELECT doc_id, n_tokens,
-       round(mean_tok_len, 4) AS mean_tok_len,
-       round(stop_frac, 4) AS stop_frac,
-       round(uniq_frac, 4) AS uniq_frac,
-       CASE WHEN n_tokens BETWEEN 12 AND 80 THEN 1 ELSE 0 END AS r_len,
-       CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 8.0
-            THEN 1 ELSE 0 END AS r_tok_len,
-       CASE WHEN stop_frac >= 0.03 THEN 1 ELSE 0 END AS r_stop,
-       CASE WHEN uniq_frac >= 0.5 THEN 1 ELSE 0 END AS r_uniq,
-       CASE WHEN (n_tokens BETWEEN 12 AND 80)
-             AND mean_tok_len >= 3.0 AND mean_tok_len <= 8.0
-             AND stop_frac >= 0.03 AND uniq_frac >= 0.5
-            THEN 1 ELSE 0 END AS keep
-FROM st ORDER BY doc_id
+SELECT doc_id, n_tokens, mean_tok_len, stop_frac, uniq_frac,
+       r_len, r_tok_len, r_stop, r_uniq,
+       r_len * r_tok_len * r_stop * r_uniq AS keep
+FROM (
+  SELECT doc_id, n_tokens,
+         round(mean_tok_len, 4) AS mean_tok_len,
+         round(stop_frac, 4) AS stop_frac,
+         round(uniq_frac, 4) AS uniq_frac,
+         CASE WHEN n_tokens BETWEEN 12 AND 80 THEN 1 ELSE 0 END AS r_len,
+         CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 8.0
+              THEN 1 ELSE 0 END AS r_tok_len,
+         CASE WHEN stop_frac >= 0.03 THEN 1 ELSE 0 END AS r_stop,
+         CASE WHEN uniq_frac >= 0.5 THEN 1 ELSE 0 END AS r_uniq
+  FROM st
+) flags ORDER BY doc_id
 """
 
 
@@ -3500,44 +3501,49 @@ def _sql_value_drift(d: str) -> str:
     bin fractions are compared to the FIRST day's as a Jeffreys-style
     chi-square divergence sum_i (p_i-q_i)^2/(p_i+q_i) — chosen over PSI
     because it needs no logarithm: every operation is exact IEEE
-    arithmetic, so Spark and DuckDB agree bit-for-bit.  Shape: two
-    map-side-combinable groupBys + a broadcast-sized baseline join."""
+    arithmetic, so Spark and DuckDB agree bit-for-bit.  The (day, bin)
+    frame is DENSIFIED over the full bin grid before differencing: a
+    bin holding baseline mass but EMPTY on a later day is the strongest
+    drift signal there is, and a sparse observed-rows-only join would
+    silently drop exactly that term.  Shape: two map-side-combinable
+    groupBys + a broadcast-sized baseline join."""
     day = _fmt_day(d, "ts")
+    bins = (
+        "SELECT explode(sequence(0, 9)) AS bin"
+        if d == "spark"
+        else "SELECT CAST(unnest(range(0, 10)) AS INT) AS bin"
+    )
     return f"""
 WITH b AS (
   SELECT {day} AS day,
          CAST(least(greatest(floor(value / 50.0), 0), 9) AS INT) AS bin
   FROM events
 ),
+bins AS ({bins}),
 cnt AS (SELECT day, bin, count(*) AS c FROM b GROUP BY day, bin),
 tot AS (SELECT day, count(*) AS n FROM b GROUP BY day),
 frac AS (
-  SELECT cnt.day, cnt.bin, {_div('cnt.c', 'tot.n')} AS p
-  FROM cnt JOIN tot ON cnt.day = tot.day
+  SELECT tot.day, bins.bin, tot.n,
+         {_div('coalesce(cnt.c, 0)', 'tot.n')} AS p
+  FROM tot CROSS JOIN bins
+  LEFT JOIN cnt ON cnt.day = tot.day AND cnt.bin = bins.bin
 ),
 base AS (
   SELECT bin, p AS q FROM frac
   WHERE day = (SELECT min(day) FROM tot)
 ),
 terms AS (
-  SELECT f.day,
-         CASE WHEN f.p + coalesce(base.q, CAST(0 AS DOUBLE)) = 0
-              THEN CAST(0 AS DOUBLE)
-              ELSE (f.p - coalesce(base.q, CAST(0 AS DOUBLE)))
-                   * (f.p - coalesce(base.q, CAST(0 AS DOUBLE)))
-                   / (f.p + coalesce(base.q, CAST(0 AS DOUBLE)))
+  SELECT f.day, f.n,
+         CASE WHEN f.p + base.q = 0 THEN CAST(0 AS DOUBLE)
+              ELSE (f.p - base.q) * (f.p - base.q) / (f.p + base.q)
          END AS t
-  FROM frac f LEFT JOIN base ON f.bin = base.bin
+  FROM frac f JOIN base ON f.bin = base.bin
 )
-SELECT terms.day,
-       tot.n AS n_events,
+SELECT day, n AS n_events,
        round(sum(t), 6) AS drift_stat,
        CAST(CASE WHEN sum(t) > 0.015 THEN 1 ELSE 0 END AS INT) AS is_drifted
-FROM terms JOIN tot ON terms.day = tot.day
-GROUP BY terms.day, tot.n
-ORDER BY terms.day
+FROM terms GROUP BY day, n ORDER BY day
 """
-
 
 _q(
     "events_value_drift",
@@ -3925,7 +3931,11 @@ def _clips_offset_align_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datagen.clips import DEFAULT_RUN_TS, clips_df
     from .functions import audiofeat as af
     from .functions.audio import decode_wav_pcm16
-    from .operators.audiodedup import OFF_MAX_HAMMING, offset_align_pairs
+    from .operators.audiodedup import (
+        OFF_MAX_HAMMING,
+        bigram_fp_row,
+        offset_align_pairs,
+    )
     from .oracle.clips_cache import shifted_scaled_pcm16
 
     def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3948,14 +3958,9 @@ def _clips_offset_align_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (f"shft_{suffix}", shifted_scaled_pcm16(dec.pcm, s)),
                 )
                 for fid, pcm in variants:
-                    w = af.band_fingerprint(
-                        pcm.astype(np.float64) / 32767.0, dec.sr_hz
-                    ).astype(np.int64)
-                    if w.size < 2:
-                        continue
-                    big = (w[:-1] << 16) | w[1:]
-                    rows.append((fid, int(w.size),
-                                 [int(v) for v in w], [int(v) for v in big]))
+                    row = bigram_fp_row(pcm, dec.sr_hz)
+                    if row is not None:
+                        rows.append((fid, *row))
             yield pd.DataFrame(rows, columns=["fp_id", "n_words", "words", "bigrams"])
 
     clips = clips_df(spark, N_OFFSET, run_ts=DEFAULT_RUN_TS)
