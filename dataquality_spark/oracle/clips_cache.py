@@ -628,6 +628,78 @@ def ensure_doc_models() -> str:
     return path
 
 
+
+
+N_ALIGN = 500  # clips_word_alignment corpus size
+
+
+def align_path(n: int) -> str:
+    return os.path.join(CACHE_DIR, f"align_{VERSION}_n{n}.parquet")
+
+
+_ALIGN_COLS = [
+    "clip_id", "seg_idx", "start_ms", "end_ms", "w_start", "w_end",
+]
+
+
+def align_rows(clip_id: str, raw: bytes, transcript: str) -> list:
+    """Proportional word-to-segment alignment (the forced-alignment stub
+    an ASR data-prep pipeline runs before per-segment training pairs):
+    whitespace words are split across the clip's VAD speech segments in
+    proportion to segment duration, boundaries by integer floor over
+    cumulative speech milliseconds — w_end_i = floor(W * cum_i / D).
+    By construction the ranges partition [0, W): seg 0 starts at 0,
+    the last segment ends at W, ranges are contiguous and monotone —
+    invariants the DuckDB oracle RE-DERIVES in SQL rather than trusts.
+    Gapped/silent/undecodable conventions follow chunk_rows."""
+    import numpy as np
+
+    from ..functions import audiofeat as af
+    from ..functions.audio import decode_wav_pcm16
+
+    idx = int(clip_id.split("_")[1])
+    try:
+        dec = decode_wav_pcm16(bytes(raw))
+    except ValueError:
+        return []
+    x = dec.pcm.astype(np.float64) / 32767.0
+    if idx % 3 == 0:
+        x = x.copy()
+        x[int(0.4 * x.size):int(0.6 * x.size)] = 0.0
+    segs = af.speech_segments(x, dec.sr_hz)
+    if not segs:
+        return []
+    words = [w for w in (transcript or "").split() if w]
+    n_w = len(words)
+    # VAD emits hop-aligned times (exact multiples of 10 ms) as floats;
+    # integer ms keep the boundary arithmetic exact
+    seg_ms = [(int(s), int(e)) for s, e, _r in segs]
+    total = sum(e - s for s, e in seg_ms)
+    rows, cum, prev_end = [], 0, 0
+    for j, (s, e) in enumerate(seg_ms):
+        cum += e - s
+        w_end = (n_w * cum) // total if total > 0 else 0
+        rows.append((clip_id, j, s, e, prev_end, w_end))
+        prev_end = w_end
+    return rows
+
+
+def ensure_align(n: int) -> str:
+    path = align_path(n)
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from ..datagen.clips import row_for
+
+    rows = []
+    for i in range(n):
+        r = row_for(i)
+        rows.extend(align_rows(r["clip_id"], r["bytes"], r["transcript"]))
+    _atomic_write(pd.DataFrame(rows, columns=_ALIGN_COLS), path)
+    return path
+
+
 def ensure_all() -> None:
     """Materialize every oracle input (no-op when cached)."""
     ensure_enriched(N_LABELS)
@@ -641,3 +713,4 @@ def ensure_all() -> None:
     ensure_transcode(N_TRANSCODE)
     ensure_chunks(N_CHUNKS)
     ensure_loudness(N_LOUD)
+    ensure_align(N_ALIGN)

@@ -2469,6 +2469,7 @@ _q(
 
 
 from .oracle.clips_cache import (  # noqa: E402  (paths baked into oracle SQL)
+    N_ALIGN,
     N_CHUNKS,
     N_FP,
     N_INVARIANTS,
@@ -2478,6 +2479,7 @@ from .oracle.clips_cache import (  # noqa: E402  (paths baked into oracle SQL)
     N_SPECTRAL,
     N_TRANSCODE,
     N_VAD,
+    align_path,
     chunks_path,
     doc_models_path,
     enriched_path,
@@ -3801,6 +3803,88 @@ _q(
         "fraction active k days later (k=0..7). Partial-aggregated "
         "distinct + equi-joins, no windows.",
     tags=("events",),
+)
+
+
+def _clips_word_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional word-to-segment alignment (forced-alignment stub):
+    whitespace transcript words are split across VAD speech segments in
+    proportion to segment duration with exact integer-ms boundary
+    arithmetic (oracle/clips_cache.py align_rows — shared by executors
+    and the local mirror).  The oracle trusts only (clip_id, seg_idx,
+    start_ms, end_ms, w_end) from the recompute parquet and RE-DERIVES
+    w_start (lag over the segment sequence), n_words_seg, and
+    words_per_sec in SQL — so the contiguous-partition invariant is
+    checked by an independent engine, not replayed."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .datagen.clips import DEFAULT_RUN_TS, clips_df
+    from .oracle import clips_cache
+    from .oracle.clips_cache import _ALIGN_COLS, align_rows
+
+    clips_cache.ensure_align(clips_cache.N_ALIGN)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw, tr in zip(pdf["clip_id"], pdf["bytes"],
+                                    pdf["transcript"]):
+                rows.extend(align_rows(cid, raw, tr))
+            yield pd.DataFrame(rows, columns=_ALIGN_COLS)
+
+    clips = clips_df(spark, clips_cache.N_ALIGN, run_ts=DEFAULT_RUN_TS)
+    aligned = clips.select("clip_id", "bytes", "transcript").mapInPandas(
+        run,
+        schema="clip_id string, seg_idx int, start_ms int, end_ms int, "
+               "w_start int, w_end int",
+    )
+    from pyspark.sql import functions as F
+
+    return aligned.select(
+        "clip_id", "seg_idx", "start_ms", "end_ms", "w_start", "w_end",
+        (F.col("w_end") - F.col("w_start")).alias("n_words_seg"),
+        F.round(
+            (F.col("w_end") - F.col("w_start")).cast("double")
+            / (F.greatest(F.col("end_ms") - F.col("start_ms"), F.lit(1))
+               .cast("double") / F.lit(1000.0).cast("double")),
+            4,
+        ).alias("words_per_sec"),
+    ).orderBy("clip_id", "seg_idx")
+
+
+def _duck_align_oracle(path: str) -> str:
+    return f"""
+WITH a AS (
+  SELECT clip_id, seg_idx, start_ms, end_ms, w_end,
+         coalesce(
+           lag(w_end) OVER (PARTITION BY clip_id ORDER BY seg_idx), 0
+         ) AS w_start
+  FROM read_parquet('{path}')
+)
+SELECT clip_id, seg_idx,
+       CAST(start_ms AS INT) AS start_ms,
+       CAST(end_ms AS INT) AS end_ms,
+       CAST(w_start AS INT) AS w_start,
+       CAST(w_end AS INT) AS w_end,
+       CAST(w_end - w_start AS INT) AS n_words_seg,
+       round(CAST(w_end - w_start AS DOUBLE)
+             / (CAST(greatest(end_ms - start_ms, 1) AS DOUBLE)
+                / CAST(1000.0 AS DOUBLE)), 4) AS words_per_sec
+FROM a ORDER BY clip_id, seg_idx
+"""
+
+
+_q(
+    "clips_word_alignment",
+    fn=_clips_word_alignment,
+    oracle=_duck_align_oracle(align_path(N_ALIGN)),
+    doc="Proportional word-to-segment alignment (forced-alignment stub): "
+        "transcript words distributed across VAD segments by integer-ms "
+        "duration fractions; oracle re-derives w_start/n_words/rate via "
+        "SQL window functions over the recompute parquet.",
+    tags=("clips", "audio", "text"),
 )
 
 
