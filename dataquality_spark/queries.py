@@ -3888,6 +3888,132 @@ _q(
 )
 
 
+def _sql_curation_pipeline(d: str) -> str:
+    """The composed training-corpus curation recipe, end to end in one
+    DAG: Gopher-shape gate AND policy score >= 63 AND exact-dedup
+    canonical member (63 = this corpus's median policy score: the
+    text-only tables score 6 of 17 dimensions, the rest default to 50,
+    so the reference's 85/70 action thresholds sit above the reachable
+    range and the curation gate is calibrated to the scored subset), boilerplate-span token accounting for the
+    survivors, then shard-partitioned sequence packing of what remains
+    — the "run the whole curation in one call" surface a corpus team
+    actually invokes.  Every stage reuses the same SQL fragment its
+    standalone oracle-checked query uses, so the composition is checked
+    end-to-end by construction AND by the driver's oracle on this
+    query.  Shapes: window canonicalization, two hash groupBys, a
+    broadcast boilerplate join, shard-local pack windows — no global
+    sort, no quadratic stage."""
+    idiv = "div" if d == "spark" else "//"
+    return f"""
+WITH gg AS (SELECT doc_id, keep FROM ({_sql_gopher_gate(d)}) t),
+pol AS (SELECT doc_id, overall_quality_score
+        FROM ({_sql_quality_policy(d)}) t),
+canon AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+              THEN 1 ELSE 0 END AS is_canon
+  FROM documents
+),
+bl AS (SELECT doc_id, tokens_kept FROM ({_sql_span_boilerplate(d)}) t),
+surv AS (
+  SELECT g.doc_id, p.overall_quality_score, b.tokens_kept
+  FROM gg g
+  JOIN pol p USING (doc_id)
+  JOIN canon c USING (doc_id)
+  JOIN bl b USING (doc_id)
+  WHERE g.keep = 1 AND p.overall_quality_score >= 63 AND c.is_canon = 1
+),
+packed AS (
+  SELECT doc_id, overall_quality_score, tokens_kept,
+         CAST(doc_id % 8 AS BIGINT) AS bucket,
+         sum(tokens_kept) OVER (
+           PARTITION BY doc_id % 8 ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_end
+  FROM surv
+)
+SELECT doc_id, overall_quality_score, tokens_kept, bucket,
+       cum_end - tokens_kept AS start_tok,
+       CAST((cum_end - tokens_kept) {idiv} 4096 AS BIGINT) AS seq_id
+FROM packed ORDER BY doc_id
+"""
+
+
+_q(
+    "doc_curation_pipeline",
+    spark_sql=_sql_curation_pipeline("spark"),
+    oracle=_sql_curation_pipeline("duck"),
+    doc="Composed end-to-end curation: Gopher gate + policy >= 63 + "
+        "exact-dedup canonical + boilerplate token accounting + "
+        "shard-partitioned sequence packing of the survivors, one DAG, "
+        "every stage the same fragment its standalone query verifies.",
+    tags=("text", "quality", "dedup"),
+)
+
+
+def _sql_sliding_avg(d: str) -> str:
+    """Event-time RANGE-frame sliding aggregate: per event, the running
+    average and count of the same user's values over the PRECEDING HOUR
+    — a true range frame over microsecond event time (peers at the same
+    timestamp aggregate together, so the result is deterministic under
+    any tie order).  User-partitioned window: parallel across users, no
+    global sort."""
+    ep = _epoch_us(d, "ts")
+    return f"""
+WITH e AS (SELECT event_id, user_id, value, {ep} AS ep_us FROM events)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_window,
+       round(avg(value) OVER w, 4) AS avg_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ep_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+_q(
+    "events_sliding_window_avg",
+    spark_sql=_sql_sliding_avg("spark"),
+    oracle=_sql_sliding_avg("duck"),
+    doc="RANGE-frame sliding aggregate over microsecond event time: "
+        "per-event trailing-hour average and count per user; "
+        "deterministic under timestamp ties, user-partitioned.",
+    tags=("events", "window"),
+)
+
+
+def _sql_tpch_q18(d: str) -> str:
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    semi-join feeding a 3-table join and rollup — the shape where the
+    subquery's aggregate prunes the fact table before the wide join."""
+    day = _fmt_day(d, "o.o_orderdate")
+    return f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, {day} AS order_day,
+       round(o.o_totalprice, 2) AS total_price,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, {day}, o.o_totalprice
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+_q(
+    "tpch_q18_large_orders",
+    spark_sql=_sql_tpch_q18("spark"),
+    oracle=_sql_tpch_q18("duck"),
+    doc="TPC-H Q18 shape: HAVING-filtered aggregate semi-join pruning "
+        "the fact table before a 3-table join and top-20 rollup.",
+    tags=("tpch", "join"),
+)
+
+
 N_TRIM = 160  # clips_silence_trim corpus size (x2 with padded variants)
 
 
