@@ -3947,7 +3947,7 @@ _q(
         "exact-dedup canonical + boilerplate token accounting + "
         "shard-partitioned sequence packing of the survivors, one DAG, "
         "every stage the same fragment its standalone query verifies.",
-    tags=("text", "quality", "dedup"),
+    tags=("text", "quality", "dedup", "bench"),
 )
 
 
