@@ -25,14 +25,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-_LIVE: list[DataFrame] = []
+_LIVE: dict[int, DataFrame] = {}
 
 
 def cached(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
     """persist() with registration; MEMORY_AND_DISK so big intermediates
-    spill instead of evicting each other at scale."""
+    spill instead of evicting each other at scale.
+
+    Idempotent per logical plan: a frame whose plan is semantically equal
+    to one already live is returned as the registered frame instead of
+    persisting again — Spark's CacheManager keys cache entries by plan, so
+    a second persist of the same plan only produces the
+    ``Asked to cache already cached data`` WARN without adding anything.
+    A ``semanticHash`` collision merely skips a persist (the frame
+    recomputes lazily); never a correctness hazard.
+    """
+    try:
+        h = df.semanticHash()
+    except Exception:  # pre-analysis failure etc. — fall back to identity
+        h = id(df)
+    live = _LIVE.get(h)
+    if live is not None:
+        return live
     df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
-    _LIVE.append(df)
+    _LIVE[h] = df
     return df
 
 
@@ -40,7 +56,7 @@ def release_all() -> int:
     """Unpersist every registered frame; returns how many were released."""
     n = 0
     while _LIVE:
-        df = _LIVE.pop()
+        _, df = _LIVE.popitem()
         try:
             df.unpersist()
             n += 1

@@ -133,7 +133,12 @@ def compact_table(
         tmp = os.path.join(table_dir, f".compact-{b}.tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         spark.read.parquet(path).coalesce(files_per_batch).write.parquet(tmp)
-        old = path + ".old"
+        # dot-prefixed so Spark's file index ignores it if a crash between
+        # the two renames (or before the rmtree) leaves it behind — a bare
+        # 'batch_id=<b>.old' dir inside the table root would otherwise be
+        # partition-discovered by whole-directory reads with a conflicting
+        # string-typed batch_id (same convention as '.compact-<b>.tmp').
+        old = os.path.join(table_dir, f".old-{b}")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(path, old)
         os.rename(tmp, path)

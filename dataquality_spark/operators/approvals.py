@@ -74,7 +74,16 @@ def promote(results: DataFrame, counts: DataFrame,
             key: str = "clip_id") -> DataFrame:
     """Promotion join (P7): approvals >= 7 -> APPROVED; below the bar with
     any rejection -> REVIEW; else the pipeline action stands.  ``counts``
-    is per-file and tiny relative to results -> Catalyst broadcasts it."""
+    is per-file and tiny relative to results -> Catalyst broadcasts it.
+
+    Deliberate latest-state deviation from the reference: routes.py:698-709
+    sets REVIEW *at rejection time* and keeps it sticky — a later
+    re-approval of that dimension (still < 7 approvals) does not clear it.
+    This operator is a stateless re-derivation from the CURRENT approval
+    state, so such a file reverts to the pipeline action.  Stateless
+    re-derivation is the scalable batch shape (any snapshot replays to the
+    same answer; no event-order-dependent flag to checkpoint), mirroring
+    the dedup-reporting deviation documented in operators/dedup.py."""
     joined = results.join(
         counts.withColumnRenamed("file_key", key), key, "left"
     ).fillna({"approvals": 0, "rejections": 0})

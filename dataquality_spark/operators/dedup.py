@@ -200,13 +200,27 @@ def _exact_jaccard_cogroup(pairs: DataFrame, tokens: DataFrame,
             return pd.DataFrame(columns=cols)
         sel = feats.set_index("clip_id").loc[cand["id_b"].values]
         a_h, b_h = cand["a_hashes"].values, sel["tok_hashes"].values
-        jac = np.empty(len(cand), dtype=np.float64)
-        for i in range(len(cand)):
-            ha = np.asarray(a_h[i], dtype=np.int64)
-            hb = np.asarray(b_h[i], dtype=np.int64)
-            inter = np.intersect1d(ha, hb, assume_unique=True).size
-            u = ha.size + hb.size - inter
-            jac[i] = (inter / u) if u else 0.0
+        n = len(cand)
+        # Fully vectorized per-pair set intersection: tag every hash with
+        # its pair index, lexsort ONE concatenated (pair, hash) array, and
+        # count adjacent duplicates — a hash appears at most once per side
+        # (arrays are distinct per clip), so each adjacent-equal run is
+        # exactly one intersection hit.  One sort for the whole bucket
+        # replaces a Python loop of per-pair ``np.intersect1d`` calls.
+        la = np.fromiter((len(x) for x in a_h), dtype=np.int64, count=n)
+        lb = np.fromiter((len(x) for x in b_h), dtype=np.int64, count=n)
+        idx = np.arange(n, dtype=np.int64)
+        pair_ids = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
+        hashes = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in a_h]
+            + [np.asarray(x, dtype=np.int64) for x in b_h]
+        ) if pair_ids.size else np.empty(0, dtype=np.int64)
+        order = np.lexsort((hashes, pair_ids))
+        sp, sh = pair_ids[order], hashes[order]
+        dup = (sp[1:] == sp[:-1]) & (sh[1:] == sh[:-1])
+        inter = np.bincount(sp[1:][dup], minlength=n).astype(np.float64)
+        union = (la + lb).astype(np.float64) - inter
+        jac = np.divide(inter, union, out=np.zeros(n), where=union > 0)
         return pd.DataFrame(
             {
                 "id_a": cand["id_a"].values,

@@ -214,14 +214,21 @@ def _approvals_fn(
     # dim -> [status, event_ts_ns]: keeping the event time in state makes
     # latest-wins hold across ANY arrival order — a late-arriving file in
     # a later trigger (or a later Arrow chunk of the same trigger) with an
-    # OLDER ts must not overwrite newer state, matching the batch
-    # operators/approvals.py window exactly (ties broken by arrival).
+    # OLDER ts must not overwrite newer state.  Equal-ts ties break by
+    # status DESC (rejected > approved lexically), the SAME rule as the
+    # batch window (operators/approvals.py latest_dimension_state orders
+    # desc(ts), desc(status)) — so batch and streaming agree even on a
+    # same-timestamp reject-then-approve sequence, in any arrival order.
     dims: dict = json.loads(state.get[0]) if state.exists else {}
     for pdf in pdfs:
         for _, row in pdf.iterrows():
             ts_ns = int(pd.Timestamp(row["ts"]).value)
             cur = dims.get(row["dimension"])
-            if cur is None or ts_ns >= cur[1]:
+            if (
+                cur is None
+                or ts_ns > cur[1]
+                or (ts_ns == cur[1] and str(row["status"]) > cur[0])
+            ):
                 dims[row["dimension"]] = [row["status"], ts_ns]
     state.update((json.dumps(dims, sort_keys=True),))
     approvals = sum(1 for s, _ in dims.values() if s == "approved")
