@@ -159,3 +159,40 @@ def clips_df(spark, n: int, seed: int = DEFAULT_SEED, run_ts: dt.datetime = DEFA
 
 def write_clips_parquet(spark, path: str, n: int, seed: int = DEFAULT_SEED) -> None:
     clips_df(spark, n, seed).write.mode("overwrite").parquet(path)
+
+
+# ------------------------------------------------------- mixed-codec corpus
+
+MULAW_MOD = 3  # clips with i % MULAW_MOD == 2 are mu-law encoded
+
+
+def mixed_codec_row_for(
+    i: int, seed: int = DEFAULT_SEED, run_ts: dt.datetime = DEFAULT_RUN_TS
+) -> dict:
+    """row_for with every third clip re-encoded as 8-bit G.711 mu-law
+    (codec 'pcm_mulaw', WAV fmt code 7) from the SAME reference waveform —
+    the mixed-codec ingest shape a real speech corpus has. The planted
+    k=23 (garbage bytes) and k=24 ('mp3', undecodable here) rows keep
+    their original payloads so the error-routing cases survive."""
+    from ..functions.audio import encode_wav_mulaw
+
+    r = row_for(i, seed, run_ts)
+    k = i % 100
+    if k not in (23, 24) and i % MULAW_MOD == 2:
+        r["bytes"] = encode_wav_mulaw(reference_waveform(i, _dur_ms(i, k)), SR)
+        r["codec"] = "pcm_mulaw"
+    return r
+
+
+def mixed_clips_df(
+    spark, n: int, seed: int = DEFAULT_SEED, run_ts: dt.datetime = DEFAULT_RUN_TS
+):
+    """Distributed mixed-codec generation (same sharding as clips_df)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [mixed_codec_row_for(int(i), seed, run_ts) for i in pdf["id"]]
+            )
+
+    parts = max(8, min(1024, n // 500))
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema=CLIPS_SCHEMA)

@@ -31,7 +31,40 @@ CLIP_THRESHOLD = 32700
 # RMS (in float [-1,1] units) below which a clip counts as silent.
 SILENCE_RMS = 1e-4
 
-SUPPORTED_CODECS = ("pcm_s16le",)
+SUPPORTED_CODECS = ("pcm_s16le", "pcm_mulaw")
+
+# --- G.711 mu-law companding (public ITU-T standard; pure numpy) ----------
+# Classic Sun/G.711 segmented encoder: bias 0x84, 8 exponent segments,
+# 4-bit mantissa, complemented output byte. Decode error for speech-level
+# signals is ~38 dB SNR independent of level (the point of log companding),
+# comfortably above the input_hint's 30 dB per-row floor.
+MULAW_BIAS = 0x84
+MULAW_CLIP = 32635
+WAV_FMT_PCM = 1
+WAV_FMT_MULAW = 7
+
+
+def mulaw_compress(pcm: np.ndarray) -> np.ndarray:
+    """int16 linear PCM -> uint8 mu-law bytes (vectorized G.711 encode)."""
+    x = np.asarray(pcm, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), MULAW_CLIP) + MULAW_BIAS
+    # exponent = MSB position - 7, exactly: frexp gives mag = m * 2^e with
+    # m in [0.5, 1), so MSB position = e - 1 (integer-exact, no log2 ties)
+    _, e = np.frexp(mag.astype(np.float64))
+    exponent = (e - 8).astype(np.int32)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def mulaw_expand(u: np.ndarray) -> np.ndarray:
+    """uint8 mu-law bytes -> int16 linear PCM (vectorized G.711 decode)."""
+    u = (~np.asarray(u, dtype=np.int32)) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + MULAW_BIAS) << exponent) - MULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
 
 
 def encode_wav_pcm16(samples: np.ndarray, sr_hz: int) -> bytes:
@@ -67,8 +100,9 @@ class DecodedWav(NamedTuple):
     pcm: np.ndarray  # int16
 
 
-def decode_wav_pcm16(raw: bytes) -> DecodedWav:
-    """Parse a mono PCM16 WAV container. Raises ValueError on malformed input."""
+def _parse_wav(raw: bytes) -> tuple[int, int, int, int, bytes]:
+    """RIFF chunk walk -> (fmt_code, channels, bits, sr_hz, data bytes).
+    Raises ValueError on malformed input."""
     if raw is None or len(raw) < 44:
         raise ValueError("too short for a WAV header")
     if raw[0:4] != _RIFF or raw[8:12] != _WAVE:
@@ -90,16 +124,62 @@ def decode_wav_pcm16(raw: bytes) -> DecodedWav:
         pos = body + csz + (csz & 1)
     if fmt_code is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    if fmt_code != 1 or bits != 16 or channels != 1:
+    return int(fmt_code), int(channels), int(bits), int(sr), data
+
+
+def decode_wav_pcm16(raw: bytes) -> DecodedWav:
+    """Parse a mono PCM16 WAV container. Raises ValueError on malformed input."""
+    fmt_code, channels, bits, sr, data = _parse_wav(raw)
+    if fmt_code != WAV_FMT_PCM or bits != 16 or channels != 1:
         raise ValueError(f"unsupported wav: fmt={fmt_code} bits={bits} ch={channels}")
     pcm = np.frombuffer(data, dtype="<i2")
     return DecodedWav(int(sr), pcm)
 
 
+def decode_wav_mulaw(raw: bytes) -> DecodedWav:
+    """Parse a mono 8-bit G.711 mu-law WAV (fmt code 7) and expand to
+    int16 linear PCM. Raises ValueError on malformed input."""
+    fmt_code, channels, bits, sr, data = _parse_wav(raw)
+    if fmt_code != WAV_FMT_MULAW or bits != 8 or channels != 1:
+        raise ValueError(f"unsupported wav: fmt={fmt_code} bits={bits} ch={channels}")
+    return DecodedWav(int(sr), mulaw_expand(np.frombuffer(data, dtype=np.uint8)))
+
+
+def encode_wav_mulaw(samples: np.ndarray, sr_hz: int) -> bytes:
+    """float[-1,1] or int16 samples -> mono 8-bit mu-law WAV (fmt code 7)."""
+    if samples.dtype != np.int16:
+        pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+        pcm = np.round(pcm * 32767.0).astype(np.int16)
+    else:
+        pcm = samples
+    data = mulaw_compress(pcm).tobytes()
+    n = len(data)
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        _RIFF,
+        36 + n,
+        _WAVE,
+        _FMT,
+        16,
+        WAV_FMT_MULAW,
+        1,  # mono
+        sr_hz,
+        sr_hz,  # byte rate: 1 byte/sample
+        1,  # block align
+        8,  # bits per sample
+        _DATA,
+        n,
+    )
+    return header + data
+
+
 def decode_clip(raw: bytes, codec: str) -> DecodedWav:
-    """Codec-dispatched decode. Only pcm_s16le WAV is decodable in-container."""
+    """Codec-dispatched decode: pcm_s16le and pcm_mulaw WAV are decodable
+    in-container (pure numpy); compressed codecs need external libs."""
     if codec == "pcm_s16le":
         return decode_wav_pcm16(raw)
+    if codec == "pcm_mulaw":
+        return decode_wav_mulaw(raw)
     if codec in ("mp3", "opus", "flac", "aac"):
         # Plumbing is real (same schema/UDF path); decoder libs absent here.
         raise NotImplementedError(f"codec {codec!r} requires an external decoder")

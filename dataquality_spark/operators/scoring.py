@@ -138,15 +138,24 @@ def dimension_score_exprs() -> dict[str, Column]:
 
 def dimension_evidence_exprs() -> dict[str, Column]:
     """Short deterministic evidence strings (reference record shape,
-    metadata.py:437-451); computed natively with format_string."""
+    metadata.py:437-451); computed natively with format_string.
+
+    Float interpolations round to the printed precision BEFORE formatting:
+    ``%.Nf`` alone is engine-dependent at exact decimal midpoints of the
+    binary double (Java Formatter HALF_UP vs C/fmt round-half-even — e.g.
+    331.25 prints '331.3' vs '331.2'), while formatting an already-rounded
+    double is unambiguous everywhere. This pins HALF_UP tie semantics and
+    makes the text bit-reproducible across engines (the DuckDB oracle in
+    queries.clips_evidence_strings recomputes it with printf(round(...)))."""
     c = F.col
     return {
         "Accuracy": F.format_string(
             "decode_ok=%s silent=%s clip_ratio=%.4f",
-            c("decode_ok").cast("string"), c("is_silent").cast("string"), c("clip_ratio"),
+            c("decode_ok").cast("string"), c("is_silent").cast("string"),
+            F.round(c("clip_ratio"), 4),
         ),
         "Completeness": F.format_string(
-            "n_tokens=%d chars_per_sec=%.1f", c("n_tokens"), _cps()
+            "n_tokens=%d chars_per_sec=%.1f", c("n_tokens"), F.round(_cps(), 1)
         ),
         "Consistency": F.format_string(
             "distinct=%d of %d tokens", c("n_distinct"), c("n_tokens")
@@ -160,30 +169,38 @@ def dimension_evidence_exprs() -> dict[str, Column]:
         ).otherwise(
             F.format_string("Timeliness satisfied: upload age %d days", c("age_days"))
         ),
-        "Validity": F.format_string("alpha_space_ratio=%.3f", c("alpha_space_ratio")),
+        "Validity": F.format_string(
+            "alpha_space_ratio=%.3f", F.round(c("alpha_space_ratio"), 3)
+        ),
         "Uniqueness": F.when(c("is_dup"), F.lit("near-duplicate detected")).otherwise(
             F.lit("no duplicate found")
         ),
         "Reliability": F.format_string("sr_hz=%d codec=%s", c("sr_hz"), c("codec")),
-        "Relevance": F.format_string("lang=%s conf=%.3f", c("lang"), c("lang_conf")),
+        "Relevance": F.format_string(
+            "lang=%s conf=%.3f", c("lang"), F.round(c("lang_conf"), 3)
+        ),
         "Accessibility": F.when(c("decode_ok"), F.lit("audio decodable")).otherwise(
             F.lit("audio decode failed")
         ),
         "Precision": F.format_string("sr_hz=%d", c("sr_hz")),
         "Integrity": F.format_string(
             "decoded_ms=%.0f declared_ms=%d",
-            F.when(
-                c("header_sr_hz") > 0,
-                c("n_samples") * F.lit(1000.0) / c("header_sr_hz"),
-            ).otherwise(F.lit(0.0)),
+            F.round(
+                F.when(
+                    c("header_sr_hz") > 0,
+                    c("n_samples") * F.lit(1000.0) / c("header_sr_hz"),
+                ).otherwise(F.lit(0.0)),
+                0,
+            ),
             c("dur_ms"),
         ),
         "Conformity": F.format_string("codec=%s", c("codec")),
-        "Interpretability": F.format_string("perplexity=%.1f", c("ppl")),
+        "Interpretability": F.format_string("perplexity=%.1f", F.round(c("ppl"), 1)),
         "Traceability": F.format_string("clip_id=%s", c("clip_id")),
         "Credibility": F.lit("default source trust"),
         "Fitness_for_Use": F.format_string(
-            "lang=%s ppl=%.1f n_tokens=%d", c("lang"), c("ppl"), c("n_tokens")
+            "lang=%s ppl=%.1f n_tokens=%d", c("lang"), F.round(c("ppl"), 1),
+            c("n_tokens")
         ),
         "Value": F.format_string(
             "pii_hits=%d toxic_hits=%d", c("pii_hits"), c("toxic_hits")

@@ -700,6 +700,65 @@ def ensure_align(n: int) -> str:
     return path
 
 
+N_MIXED = 600  # clips_mixed_codec_decode corpus size
+
+
+def mixed_path(n: int) -> str:
+    return os.path.join(CACHE_DIR, f"mixed_{VERSION}_n{n}.parquet")
+
+
+_MIXED_COLS = [
+    "clip_id", "codec", "decode_ok", "n_samples", "snr_db", "snr_pass",
+]
+
+
+def mixed_codec_row(clip_id: str, raw: bytes, codec: str) -> tuple:
+    """(clip_id, codec, decode_ok, n_samples, snr_db, snr_pass) for one
+    mixed-codec clip: codec-dispatched decode (PCM16 or G.711 mu-law —
+    functions/audio.decode_clip), SNR vs the analytic reference waveform
+    recomputed from the clip index.  Exercises the codec dispatch seam
+    with a REAL second codec path (mu-law expands in pure numpy); 'mp3'
+    rows still hit the honest NotImplementedError gate and are
+    error-routed.  Mu-law companding error is ~35-38 dB SNR — above the
+    input_hint's 30 dB floor, which snr_pass asserts per row.  Shared
+    verbatim by the Spark executors and the local oracle mirror."""
+    from ..datagen.clips import reference_waveform
+    from ..functions.audio import decode_clip
+
+    idx = int(clip_id.split("_")[1])
+    try:
+        dec = decode_clip(bytes(raw), codec)
+    except (ValueError, NotImplementedError):
+        return (clip_id, codec, 0, 0, 0.0, 0)
+    sig = dec.pcm.astype(np.float64) / 32767.0
+    ref = reference_waveform(idx, int(len(sig) * 1000 / dec.sr_hz))
+    m = min(len(ref), len(sig))
+    noise = ref[:m] - sig[:m]
+    p_sig = float(np.mean(ref[:m] ** 2))
+    p_noise = float(np.mean(noise**2)) or 1e-12
+    snr = 10.0 * np.log10(p_sig / p_noise) if p_sig > 0 else 99.0
+    return (
+        clip_id, codec, 1, int(dec.pcm.size), round(float(snr), 2),
+        int(snr >= 30.0 or p_sig == 0),
+    )
+
+
+def ensure_mixed(n: int) -> str:
+    path = mixed_path(n)
+    if os.path.exists(path):
+        return path
+    import pandas as pd
+
+    from ..datagen.clips import mixed_codec_row_for
+
+    rows = []
+    for i in range(n):
+        r = mixed_codec_row_for(i)
+        rows.append(mixed_codec_row(r["clip_id"], r["bytes"], r["codec"]))
+    _atomic_write(pd.DataFrame(rows, columns=_MIXED_COLS), path)
+    return path
+
+
 def ensure_all() -> None:
     """Materialize every oracle input (no-op when cached)."""
     ensure_enriched(N_LABELS)
@@ -714,3 +773,4 @@ def ensure_all() -> None:
     ensure_chunks(N_CHUNKS)
     ensure_loudness(N_LOUD)
     ensure_align(N_ALIGN)
+    ensure_mixed(N_MIXED)

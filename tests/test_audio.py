@@ -57,6 +57,67 @@ def test_unknown_codec_stubbed():
     assert not audio_stats(raw, "mp3").decode_ok
 
 
+def test_mulaw_codebook_value_idempotent():
+    """Every int16 code maps to a mu-law byte whose decoded value re-encodes
+    to itself (value-level idempotency; the lone byte-level exception is the
+    -0 code, which decodes to 0 and re-encodes as +0 — same value)."""
+    from dataquality_spark.functions.audio import mulaw_compress, mulaw_expand
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    y = mulaw_expand(mulaw_compress(x))
+    np.testing.assert_array_equal(mulaw_expand(mulaw_compress(y)), y)
+    # max companding error is one top-segment step
+    assert np.abs(x.astype(np.int32) - y.astype(np.int32)).max() <= 1024
+
+
+def test_mulaw_wav_roundtrip_and_dispatch():
+    from dataquality_spark.functions.audio import (
+        decode_wav_mulaw,
+        encode_wav_mulaw,
+        mulaw_expand,
+        mulaw_compress,
+    )
+
+    pcm = (np.sin(np.linspace(0, 40, 1600)) * 20000).astype(np.int16)
+    raw = encode_wav_mulaw(pcm, 16000)
+    dec = decode_wav_mulaw(raw)
+    assert dec.sr_hz == 16000
+    np.testing.assert_array_equal(dec.pcm, mulaw_expand(mulaw_compress(pcm)))
+    # codec dispatch routes pcm_mulaw to the same decode
+    d2 = decode_clip(raw, "pcm_mulaw")
+    np.testing.assert_array_equal(d2.pcm, dec.pcm)
+    # a PCM16 container is NOT a valid mu-law clip (fmt code differs)
+    with pytest.raises(ValueError):
+        decode_clip(encode_wav_pcm16(pcm, 16000), "pcm_mulaw")
+
+
+def test_mulaw_snr_over_30db():
+    """G.711 companding error ~35-38 dB SNR on speech-level signals —
+    above the input_hint's 30 dB per-row floor (the mixed-codec catalog
+    query asserts this per row; here the unit-level check)."""
+    from dataquality_spark.functions.audio import encode_wav_mulaw
+
+    for i in (1, 2, 50, 226, 999):
+        ref = reference_waveform(i, 800)
+        dec = decode_clip(encode_wav_mulaw(ref, 16000), "pcm_mulaw")
+        sig = dec.pcm.astype(np.float64) / 32767.0
+        assert snr_db(ref, sig) >= 30.0, f"clip {i}"
+
+
+def test_mixed_codec_rows_deterministic():
+    from dataquality_spark.datagen.clips import mixed_codec_row_for
+
+    r2 = mixed_codec_row_for(2)
+    assert r2["codec"] == "pcm_mulaw"
+    assert decode_clip(r2["bytes"], "pcm_mulaw").pcm.size > 0
+    assert mixed_codec_row_for(2)["bytes"] == r2["bytes"]
+    # planted failure rows keep their payloads
+    assert mixed_codec_row_for(23)["codec"] == "pcm_s16le"
+    assert mixed_codec_row_for(24)["codec"] == "mp3"
+    # non-mulaw indices unchanged vs the base corpus
+    assert mixed_codec_row_for(1) == row_for(1)
+
+
 def test_silent_and_clipped_detection():
     silent = encode_wav_pcm16(np.zeros(1000, dtype=np.int16), 16000)
     assert audio_stats(silent, "pcm_s16le").is_silent
