@@ -14,10 +14,16 @@ Methodology (empirically derived on this host — see BENCH.md narrative):
   cores) and this virtualized 32-vCPU host stops scaling past ~8-16 busy
   vCPUs (sys-time inflation from lock-holder preemption), so unpinned
   8-vs-32 measures the hypervisor, not the engine.
-* **Repeats, best-of**: wall times on this VM vary 2-3x run to run with
-  identical code and input (host neighbors); each configuration runs
-  ``repeats`` times and the best wall time is reported, which is the
-  standard noisy-host protocol.
+* **Repeats, best-of, INTERLEAVED**: wall times on this VM vary 2-3x run
+  to run with identical code and input (host neighbors); each
+  configuration runs ``repeats`` times and the best wall time is
+  reported (standard noisy-host protocol).  Round 3 change: the repeats
+  are interleaved round-robin across configurations (small, big, small,
+  big, ...) instead of config-at-a-time blocks, so slow host drift
+  (neighbor load ramping over minutes) hits every configuration equally
+  instead of whichever block it coincided with — the round-2 data showed
+  configs moving INDEPENDENTLY under block sampling, which is exactly
+  what interleaving differences out.
 * **Math-library threads are pinned to 1** per Python worker: N workers
   already saturate the N cores; nested BLAS/OpenMP pools oversubscribe.
 """
@@ -44,31 +50,34 @@ def build_zip(path: str) -> None:
                     z.write(full, os.path.relpath(full, REPO))
 
 
-def run_one(workdir: str, zip_path: str, clips_path: str, cores: int,
-            repeats: int) -> dict:
-    best = None
-    for r in range(repeats):
-        out_json = os.path.join(workdir, f"result_{cores}_{r}.json")
-        cmd = [
-            "taskset", "-c", f"0-{cores - 1}",
-            SPARK_SUBMIT, "--master", f"local[{cores}]",
-            "--driver-memory", "16g",
-            "--py-files", zip_path,
-            os.path.join(REPO, "tools", "scaling_job.py"),
-            clips_path, str(cores), out_json,
-        ]
-        print("+", " ".join(cmd), flush=True)
-        env = dict(os.environ)
-        for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
-                    "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
-            env[var] = "1"
-        subprocess.run(cmd, check=True, cwd=workdir, env=env)
-        with open(out_json) as f:
-            res = json.load(f)
-        print(json.dumps(res), flush=True)
-        if best is None or res["wall_sec"] < best["wall_sec"]:
-            best = res
+def run_once(workdir: str, zip_path: str, clips_path: str, cores: int,
+             tag: str, r: int) -> dict:
+    out_json = os.path.join(workdir, f"result_{tag}_{cores}_{r}.json")
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        SPARK_SUBMIT, "--master", f"local[{cores}]",
+        "--driver-memory", "16g",
+        "--py-files", zip_path,
+        os.path.join(REPO, "tools", "scaling_job.py"),
+        clips_path, str(cores), out_json,
+    ]
+    print("+", " ".join(cmd), flush=True)
+    env = dict(os.environ)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        env[var] = "1"
+    subprocess.run(cmd, check=True, cwd=workdir, env=env)
+    with open(out_json) as f:
+        res = json.load(f)
+    print(json.dumps(res), flush=True)
+    return res
+
+
+def best_of(runs: list[dict], repeats: int) -> dict:
+    best = min(runs, key=lambda r: r["wall_sec"])
+    best = dict(best)
     best["repeats"] = repeats
+    best["all_wall_sec"] = [r["wall_sec"] for r in runs]
     return best
 
 
@@ -108,12 +117,21 @@ def main() -> None:
 
     # Symmetric sampling: EVERY configuration runs the same number of
     # repeats, so best-of cannot bias the efficiency ratio toward either
-    # side. (The high-core config is more exposed to host-neighbor noise —
-    # observed 2.3x spread — so pick `repeats` high enough for both rather
-    # than giving one side extra attempts.)
-    r_weak_small = run_one(workdir, zip_path, quarter_path, n_small, repeats)
-    r_small = run_one(workdir, zip_path, clips_path, n_small, repeats)
-    r_big = run_one(workdir, zip_path, clips_path, n_big, repeats)
+    # side; and the repeats are INTERLEAVED round-robin across the three
+    # configurations so slow host drift (neighbor load ramping over
+    # minutes) lands on every configuration equally rather than on
+    # whichever config-block it coincided with.
+    runs: dict[str, list[dict]] = {"weak_small": [], "small": [], "big": []}
+    for r in range(repeats):
+        runs["weak_small"].append(
+            run_once(workdir, zip_path, quarter_path, n_small, "weak", r))
+        runs["small"].append(
+            run_once(workdir, zip_path, clips_path, n_small, "strong", r))
+        runs["big"].append(
+            run_once(workdir, zip_path, clips_path, n_big, "strong", r))
+    r_weak_small = best_of(runs["weak_small"], repeats)
+    r_small = best_of(runs["small"], repeats)
+    r_big = best_of(runs["big"], repeats)
 
     strong = r_small["wall_sec"] / r_big["wall_sec"] / 4.0
     weak = (r_big["clips_per_sec"] / r_weak_small["clips_per_sec"]) / 4.0
@@ -134,16 +152,20 @@ def main() -> None:
         "(generation + planner warmup excluded from timing), launched "
         "`spark-submit --py-files dataquality_spark.zip`, process tree "
         f"pinned to exactly N cores with taskset, best of {repeats} runs "
-        "per configuration (symmetric sampling — identical repeat count "
-        "at N and 4N; tools/run_scaling.py documents the pinning/repeat "
-        "protocol and why unpinned local[32] on this virtualized host "
-        "measures the hypervisor, not the engine)\n",
+        "per configuration, repeats INTERLEAVED round-robin across "
+        "configurations (symmetric sampling — identical repeat count at "
+        "N and 4N, slow host drift differenced out; tools/run_scaling.py "
+        "documents the pinning/repeat protocol and why unpinned "
+        "local[32] on this virtualized host measures the hypervisor, "
+        "not the engine)\n",
         "- **N vs 4N cores, identical input** (the two-cluster-size "
         f"criterion; same {n_clips}-clip corpus at both sizes):\n",
         f"  - {n_small} cores: {r_small['wall_sec']} s "
-        f"({r_small['clips_per_sec']} clips/s)\n",
+        f"({r_small['clips_per_sec']} clips/s; raw repeats "
+        f"{r_small['all_wall_sec']} s)\n",
         f"  - {n_big} cores: {r_big['wall_sec']} s "
-        f"({r_big['clips_per_sec']} clips/s)\n",
+        f"({r_big['clips_per_sec']} clips/s; raw repeats "
+        f"{r_big['all_wall_sec']} s)\n",
         f"  - throughput scaling efficiency: **{strong:.3f}** "
         "(target >= 0.8)\n",
         "- **weak scaling** (4x executors for 4x data, reported for "
