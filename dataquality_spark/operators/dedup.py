@@ -56,7 +56,7 @@ from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import cached
@@ -328,12 +328,13 @@ def dedup_increment(enriched_all: DataFrame, new_ids: DataFrame,
     )
     # Same BUCKET_CAP skew defusal as the full path: a hot band bucket in
     # the corpus would otherwise make the new-side × all-side join emit
-    # |new-in-bucket| × |bucket| rows from one non-splittable key.
-    bucket_w = (
-        exploded.groupBy("band_idx", "band_hash", "lang")
-        .agg(F.count("*").alias("bsize"), F.min("clip_id").alias("leader"))
+    # |new-in-bucket| × |bucket| rows from one non-splittable key.  Same
+    # window-over-band-key formulation as dedup(): one exchange, and the
+    # band join below reuses the partitioning (cap bounds the worst key).
+    bw = Window.partitionBy("band_idx", "band_hash", "lang")
+    exploded = exploded.withColumn("bsize", F.count("*").over(bw)).withColumn(
+        "leader", F.min("clip_id").over(bw)
     )
-    exploded = exploded.join(bucket_w, ["band_idx", "band_hash", "lang"])
     small = exploded.filter(F.col("bsize") <= BUCKET_CAP)
     leaders_new = (
         exploded.select(F.col("leader").alias("clip_id")).distinct()
@@ -491,11 +492,19 @@ def dedup(enriched: DataFrame, buckets: int = 64) -> DedupResult:
     # member matches the leader, and the flags/transitive semantics match
     # the exact-group star-edge deviation documented above.  Buckets at or
     # under the cap keep exact all-pairs.
-    bucket_w = (
-        exploded.groupBy("band_idx", "band_hash", "lang")
-        .agg(F.count("*").alias("bsize"), F.min("clip_id").alias("leader"))
+    #
+    # Per-bucket size/leader come from a WINDOW over the band key, not a
+    # groupBy + join-back: one exchange instead of three, and the self-join
+    # below then reuses the window's hash partitioning (both sides derive
+    # from the same frame), so candidate generation runs exchange-free
+    # after the single band-key shuffle.  Giving up AQE skew-splitting on
+    # that join is safe BY CONSTRUCTION: only bsize <= BUCKET_CAP rows
+    # enter it, so the worst key's join work is bounded at C(cap, 2) per
+    # band — the cap, not AQE, is the skew defusal here.
+    bw = Window.partitionBy("band_idx", "band_hash", "lang")
+    exploded = exploded.withColumn("bsize", F.count("*").over(bw)).withColumn(
+        "leader", F.min("clip_id").over(bw)
     )
-    exploded = exploded.join(bucket_w, ["band_idx", "band_hash", "lang"])
     small = exploded.filter(F.col("bsize") <= BUCKET_CAP)
     big_edges = (
         exploded.filter(
