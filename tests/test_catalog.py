@@ -78,6 +78,17 @@ def test_every_query_has_an_oracle():
     assert not missing, f"queries without oracle: {missing}"
 
 
+def test_catalog_frozen_at_87():
+    """Round-3 freeze: the driver's correctness gate records one row per
+    queries() entry, so the catalog must not grow mid-round (additions
+    after the driver's check produce unevidenced queries — the round-2
+    lesson). Bump this ONLY together with a round-boundary freeze note
+    in SURVEY.md §8."""
+    assert len(CATALOG) == 87, (
+        f"catalog has {len(CATALOG)} queries; the round-3 freeze is 87"
+    )
+
+
 def test_emb_cosine_pairs_has_no_cartesian_plan(spark):
     """The embedding pair query must generate candidates via the banded
     equi-join — never a cartesian / theta self-join (the scale-killer the
