@@ -4272,7 +4272,10 @@ def _clips_mixed_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     garbage-bytes (k=23) and 'mp3' (k=24, honest NotImplementedError)
     failure rows kept. Per row: codec-dispatched decode + SNR vs the
     analytic reference waveform — the clips_audio_invariants check, now
-    exercising a real second codec path through the same dispatch."""
+    exercising a real second codec path through the same dispatch (the
+    audio analog of the reference's file-type -> extractor mapping, S5:
+    /root/reference/backend/app/services/s3.py:268-294, where each type
+    routes to a different decode and unknown types error-route)."""
     from typing import Iterator
 
     import pandas as pd
