@@ -43,7 +43,7 @@ ENRICHED_SCHEMA = (
     "header_sr_hz int, rms double, clip_ratio double, is_silent boolean, "
     "lang string, lang_conf double, ppl double, pii_hits int, toxic_hits int, "
     "scrubbed_transcript string, n_chars int, n_tokens int, n_distinct int, "
-    "alpha_space_ratio double, t_hash bigint, tokens array<string>, "
+    "alpha_space_ratio double, t_hash bigint, "
     "tok_hashes array<bigint>, minhash_sig binary, bands array<bigint>, "
     "bow binary"
 )
@@ -98,7 +98,11 @@ def enrich_batch(pdf: pd.DataFrame, langid_model, char_lm) -> pd.DataFrame:
             "t_hash": np.asarray(
                 [text_hash64(t or "") for t in texts], dtype=np.uint64
             ).astype(np.int64),
-            "tokens": toks,
+            # NOTE: the raw token strings are deliberately NOT emitted —
+            # every downstream consumer (MinHash banding, exact-Jaccard
+            # cogroup, scoring) works on the sorted distinct ``tok_hashes``;
+            # an array<string> column per row would ride the repartition
+            # shuffle, the cache, and every Arrow boundary for nothing.
             "tok_hashes": sigf["tok_hashes"],
             "minhash_sig": sigf["minhash_sig"],
             "bands": sigf["bands"],
