@@ -106,6 +106,13 @@ def ensure_enriched(n: int) -> str:
     )
     # unpack the packed float32 blob so DuckDB sees a FLOAT[] list column
     enr["bow_vec"] = [unpack_bow(b).tolist() for b in enr["bow"]]
+    # the Spark enriched schema deliberately drops the raw token strings
+    # (operators/enrich.py — only tok_hashes ride the shuffle); the DuckDB
+    # exhaustive-recompute oracle still wants them, so re-tokenize here on
+    # the oracle side only (n is small and the parquet is cached).
+    from ..functions.texthash import tokenize
+
+    enr["tokens"] = [tokenize(t or "") for t in pdf["transcript"].tolist()]
     _atomic_write(enr[_ENRICHED_COLS], path)
     return path
 
