@@ -47,6 +47,19 @@ def cached(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
     live = _LIVE.get(h)
     if live is not None:
         return live
+    # semanticHash can miss where CacheManager would still match: its
+    # cache lookup runs extra plan normalization (e.g. temp-view wrappers
+    # are stripped), so the same SQL resolved through a re-registered view
+    # hashes differently here yet is "already cached" to the JVM. Ask the
+    # CacheManager itself — a cached plan reports a real storage level —
+    # and skip the duplicate persist (which would only WARN and no-op).
+    try:
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            _LIVE[h] = df
+            return df
+    except Exception:
+        pass
     df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
     _LIVE[h] = df
     return df

@@ -13,14 +13,33 @@ input materialization is excluded.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 from pyspark.sql import SparkSession
 
 
+def _input_bytes(path: str) -> int:
+    """Total on-disk size of the input (local FS here; on a cluster this
+    is one FileSystem.getContentSummary call)."""
+    total = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            if not fn.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
 def main() -> None:
     clips_path, cores, out_json = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    # Scan splits sized to the JOB: target ~4 input splits per core so the
+    # map-only enrich stage balances without fragmenting. Profiling on the
+    # 640k corpus showed fixed 16m splits cost ~33% of the enrich stage's
+    # wall at 8 cores (1283 tasks x per-task Arrow stream setup + Python
+    # worker batch churn) vs letting splits grow toward the 128m default;
+    # the floor keeps small inputs parallel enough to fill the cores.
+    split = max(16 << 20, min(128 << 20, _input_bytes(clips_path) // (4 * cores)))
     spark = (
         SparkSession.builder.appName(f"scaling_{cores}")
         .config("spark.sql.shuffle.partitions", str(max(4 * cores, 8)))
@@ -29,10 +48,11 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Split the binary-heavy scan finer than the 128m default so the
-        # map-only enrich stage can fill all cores even on a small input
-        # (split count, not core count, caps its parallelism).
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # ~27 KB/clip: 2048-row Arrow batches keep the per-batch working
+        # set (~55 MB of binary audio + pandas copies) cache-friendly;
+        # the 10000 default measured ~9-13% slower on the enrich stage.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", str(split))
         # Likewise shrink AQE's coalesce target: at sandbox SF the shuffles
         # are tens of MB, and the 64m default coalesces them into 1-2
         # partitions — stragglers that serialize the whole stage. At
@@ -49,10 +69,15 @@ def main() -> None:
     clips = spark.read.parquet(clips_path)
     n = clips.count()  # warm the input listing/footers; not part of timing
 
-    # Warm codegen/planner/Python workers on a 512-row slice (excluded from
-    # timing, like bench.py): cold planning costs ~5s and is a per-process
-    # constant that a production job pays once per cluster, not per run.
-    warm = run_pipeline(clips.limit(512), DEFAULT_RUN_TS,
+    # Warm codegen/planner/Python workers on a 512-row generated slice
+    # (excluded from timing, like bench.py): cold planning costs ~5s and is
+    # a per-process constant that a production job pays once per cluster,
+    # not per run. Generated, NOT clips.limit(512): a GlobalLimit over the
+    # big scan launches every input split and shuffles up to 512 rows from
+    # EACH (~40s of untimed wall at 8 cores for zero warmup value).
+    from dataquality_spark.datagen.clips import clips_df
+
+    warm = run_pipeline(clips_df(spark, 512), DEFAULT_RUN_TS,
                         include_evidence=False, partitions=max(4 * cores, 8))
     warm.results.write.format("noop").mode("overwrite").save()
     from dataquality_spark.caching import release_all
