@@ -26,7 +26,22 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CLIPS = int(os.environ.get("BENCH_N_CLIPS", "0")) or (
     20000 if "0.1" in SF_DIR else (5000 if "0.01" in SF_DIR else 2000)
 )
-CLIPS_CACHE = os.environ.get("BENCH_CLIPS_DIR", f"/tmp/bench_clips_{N_CLIPS}")
+# File count = the scan's hard parallelism ceiling (one ~row-group per
+# file at this size), so generate 4 task-waves per core and name the cache
+# by layout so a re-run with different CPUS regenerates.
+N_FILES = 4 * CPUS
+CLIPS_CACHE = os.environ.get(
+    "BENCH_CLIPS_DIR", f"/tmp/bench_clips_{N_CLIPS}_{N_FILES}"
+)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for fn in files:
+            if not fn.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, fn))
+    return total
 
 
 def _force(df) -> int:
@@ -53,22 +68,36 @@ def main() -> None:
             "from dataquality_spark.datagen.clips import write_clips_parquet; "
             "s = get_spark(app_name='bench-datagen', master='local[%d]', "
             "shuffle_partitions=%d); "
-            "write_clips_parquet(s, %r, %d); s.stop()"
+            "write_clips_parquet(s, %r, %d, n_files=%d); s.stop()"
             % (os.path.dirname(os.path.abspath(__file__)), CPUS, CPUS,
-               CLIPS_CACHE, N_CLIPS)
+               CLIPS_CACHE, N_CLIPS, N_FILES)
         )
         subprocess.run([sys.executable, "-c", code], check=True)
 
+    # Scan splits sized to THIS input and core count: at sf0.1 the clips
+    # table is ~540 MB, and the 128m default packs it into ~6 splits — an
+    # enrich stage capped at 6 of 32 cores. One file per split (files are
+    # single row groups at this size) restores full-width scans; openCost
+    # is dropped so the sizing math is the file bytes themselves.
+    split = max(2 << 20, min(128 << 20, _dir_bytes(CLIPS_CACHE) // N_FILES))
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=CPUS)
+                      shuffle_partitions=CPUS,
+                      extra_conf={
+                          "spark.sql.files.maxPartitionBytes": str(split),
+                          "spark.sql.files.openCostInBytes": str(1 << 20),
+                      })
 
     timings: dict[str, float] = {}
 
     # --- warmup: spin up executor threads, Python workers, codegen -------
     from dataquality_spark.caching import release_all
 
+    # Generated 512-row slice, NOT clips.limit(512): a GlobalLimit over
+    # the scan launches every split and shuffles rows from each.
+    from dataquality_spark.datagen.clips import clips_df
+
     warm = run_pipeline(
-        spark.read.parquet(CLIPS_CACHE).limit(512), DEFAULT_RUN_TS,
+        clips_df(spark, 512), DEFAULT_RUN_TS,
         include_evidence=False,
     )
     _force(warm.results)

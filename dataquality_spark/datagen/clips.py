@@ -138,7 +138,8 @@ def clips_pdf(
     return pd.DataFrame([row_for(i, seed, run_ts) for i in range(start, start + n)])
 
 
-def clips_df(spark, n: int, seed: int = DEFAULT_SEED, run_ts: dt.datetime = DEFAULT_RUN_TS):
+def clips_df(spark, n: int, seed: int = DEFAULT_SEED, run_ts: dt.datetime = DEFAULT_RUN_TS,
+             n_files: int | None = None):
     """Distributed generation: spark.range(n) -> mapInPandas(row_for).
 
     Generation itself parallelizes across executors — at 10^12 rows nothing
@@ -153,12 +154,16 @@ def clips_df(spark, n: int, seed: int = DEFAULT_SEED, run_ts: dt.datetime = DEFA
     # capped every run at 20-way parallelism regardless of cores). The 100TB
     # production input has tens of thousands of splits; this makes the
     # sandbox input's granularity match its shape, not its size.
-    parts = max(8, min(1024, n // 500))
+    # ``n_files`` overrides when the caller knows the core count the table
+    # will be scanned with (a ~14 MB parquet file is one row group, so file
+    # count is the scan's hard parallelism ceiling).
+    parts = n_files or max(8, min(1024, n // 500))
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema=CLIPS_SCHEMA)
 
 
-def write_clips_parquet(spark, path: str, n: int, seed: int = DEFAULT_SEED) -> None:
-    clips_df(spark, n, seed).write.mode("overwrite").parquet(path)
+def write_clips_parquet(spark, path: str, n: int, seed: int = DEFAULT_SEED,
+                        n_files: int | None = None) -> None:
+    clips_df(spark, n, seed, n_files=n_files).write.mode("overwrite").parquet(path)
 
 
 # ------------------------------------------------------- mixed-codec corpus

@@ -28,13 +28,16 @@ payload growing only as the pair count shrinks:
 4. **Vectorized cosine** on survivors: attach the 1 KB hashed-BoW blobs,
    one numpy einsum over each Arrow batch.  Only pairs with cos >=
    DUP_COS_MIN — the rule's rarest predicate — continue.
-5. **Cogroup exact verification** on those few: token arrays are bucketed by
-   clip-id hash and cogrouped (``groupby.cogroup.applyInPandas``) so each
-   rep's tokens ship once per bucket, never once per pair; exact set
-   Jaccard decides gate >= 0.7.  The decision is therefore exact on every
-   surviving pair — LSH banding and the estimate prefilter affect recall
-   only (SURVEY §7.3), and both sit multiple sigma below what a true
-   duplicate (cos >= 0.95 implies near-identical token sets) can evade.
+5. **Native exact verification** on those few: two equi-joins attach each
+   side's sorted-distinct token-hash array and ``array_intersect``/``size``
+   compute exact set Jaccard inside whole-stage codegen — zero Python, and
+   the tokens scan prunes to participating ids (AQE broadcasts the small
+   pairs side).  Exact set Jaccard decides gate >= 0.7, so the decision is
+   exact on every surviving pair — LSH banding and the estimate prefilter
+   affect recall only (SURVEY §7.3), and both sit multiple sigma below what
+   a true duplicate (cos >= 0.95 implies near-identical token sets) can
+   evade.  (A double-cogroup variant that ships each array once per bucket
+   is kept for pathological amplification; see ``_exact_jaccard_cogroup``.)
 
 ``similarity_pairs`` reporting — a deliberate, documented deviation: the
 reference appends EVERY compared pair to its report unconditionally before
@@ -172,6 +175,39 @@ def _cosine_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _exact_jaccard_native(pairs: DataFrame, tokens: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for (id_a, id_b, cos) pairs, entirely
+    JVM-side: two equi-joins attach each side's ``tok_hashes`` (sorted
+    distinct token hashes, already computed for MinHash), then native
+    ``array_intersect``/``size`` compute |A∩B| and |A∪B| inside
+    whole-stage codegen.
+
+    This replaced the round-2 double-cogroup (``applyInPandas``) verify:
+    that design shipped the ENTIRE tokens table through the Arrow boundary
+    twice to save re-shipping arrays once per pair — but the pairs reaching
+    this stage are the cos>=0.95 survivors of a star-capped LSH funnel, so
+    the per-pair amplification is small and bounded (BUCKET_CAP) while the
+    tokens side is the whole corpus.  Profiled at 640k clips / 8 pinned
+    cores the cogroup cost ~26 s of wall; the join form prunes the tokens
+    scan to participating ids (AQE broadcasts the small pairs side) and
+    keeps the set math in codegen — no Python in the loop at all.
+    Intersection semantics are identical: per-clip hash arrays are
+    distinct, and ``array_intersect`` returns distinct elements."""
+    ta = tokens.select(
+        F.col("clip_id").alias("id_a"), F.col("tok_hashes").alias("a_h")
+    )
+    tb = tokens.select(
+        F.col("clip_id").alias("id_b"), F.col("tok_hashes").alias("b_h")
+    )
+    j = pairs.join(ta, "id_a").join(tb, "id_b")
+    inter = F.size(F.array_intersect("a_h", "b_h")).cast("double")
+    union = F.size("a_h").cast("double") + F.size("b_h").cast("double") - inter
+    return j.select(
+        "id_a", "id_b", "cos",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
 def _exact_jaccard_cogroup(pairs: DataFrame, tokens: DataFrame,
                            buckets: int) -> DataFrame:
     """Exact token-set Jaccard for (id_a, id_b[, cos]) pairs via two cogroup
@@ -179,7 +215,13 @@ def _exact_jaccard_cogroup(pairs: DataFrame, tokens: DataFrame,
     pair.  ``tokens`` carries ``tok_hashes`` — the sorted distinct uint64
     token hashes already computed for MinHash — so the per-pair set math is
     a numpy ``intersect1d`` over sorted int arrays (no Python ``set``
-    objects, no string hashing in the hot path)."""
+    objects, no string hashing in the hot path).
+
+    Kept as the reference implementation for the pathological corpus where
+    near-everything is a candidate pair (amplification >> BUCKET_CAP would
+    favor ship-once-per-bucket); the decision path uses
+    :func:`_exact_jaccard_native` — see its docstring for the measured
+    trade."""
 
     def attach_a(cand: pd.DataFrame, feats: pd.DataFrame) -> pd.DataFrame:
         if cand.empty:
@@ -386,8 +428,8 @@ def dedup_increment(enriched_all: DataFrame, new_ids: DataFrame,
     dup_elig = cos_pairs.filter(F.col("cos") >= DUP_COS_MIN).select(
         "id_a", "id_b", "cos"
     )
-    exact = _exact_jaccard_cogroup(
-        dup_elig, slim.select("clip_id", "tok_hashes"), buckets
+    exact = _exact_jaccard_native(
+        dup_elig, slim.select("clip_id", "tok_hashes")
     )
     verified_dups = cached(
         exact.withColumn("gate", F.lit(0.5) + F.lit(0.5) * F.col("jaccard"))
@@ -554,8 +596,8 @@ def dedup(enriched: DataFrame, buckets: int = 64) -> DedupResult:
     dup_elig = cos_pairs.filter(F.col("cos") >= DUP_COS_MIN).select(
         "id_a", "id_b", "cos"
     )
-    exact = _exact_jaccard_cogroup(
-        dup_elig, feats.select("clip_id", "tok_hashes"), buckets
+    exact = _exact_jaccard_native(
+        dup_elig, feats.select("clip_id", "tok_hashes")
     )
     # P6: lang equality is guaranteed by the band join key -> 0.5 + 0.5*jac
     verified_dups = (
