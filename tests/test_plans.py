@@ -109,3 +109,24 @@ def test_audio_fingerprint_dedup_plan_shape(spark):
         assert not re.search(r"\bbytes#", inp), (
             f"audio bytes entered a shuffle: {inp[:120]}"
         )
+
+
+def test_exact_verify_is_jvm_native(spark):
+    """Stage 5 of the dedup funnel (exact set-Jaccard on cos>=0.95
+    survivors) must stay in whole-stage codegen: two equi-joins +
+    array_intersect, no cogroup/applyInPandas round-trip. The duplicate
+    pairs plan is allowed exactly two Python-boundary operators — the
+    signature-estimate and cosine mapInPandas passes (plus the datagen
+    and enrich passes upstream) — and no FlatMapCoGroupsInPandas
+    anywhere."""
+    import re as _re
+
+    from dataquality_spark.datagen.clips import DEFAULT_RUN_TS, clips_df
+    from dataquality_spark.pipeline import run_pipeline
+
+    res = run_pipeline(clips_df(spark, 50), DEFAULT_RUN_TS, partitions=4)
+    plan = _plan(res.duplicate_pairs)
+    assert "FlatMapCoGroupsInPandas" not in plan
+    # every Python boundary in the plan is one of the four known passes
+    names = set(_re.findall(r"MapInPandas (\w+)\(", plan))
+    assert names <= {"gen", "run", "est", "cos"}, names
