@@ -477,7 +477,8 @@ def dedup_increment(enriched_all: DataFrame, new_ids: DataFrame,
     return DedupResult(flags, duplicate_pairs, duplicate_pairs)
 
 
-def dedup(enriched: DataFrame, buckets: int = 64) -> DedupResult:
+def dedup(enriched: DataFrame, buckets: int = 64,
+          verify: str = "native") -> DedupResult:
     # groups feeds members AND feats; feats feeds the band explode, the
     # sig/bow attach joins, and the cogroup passes — without a persist each
     # consumer re-runs the upstream agg/joins (measured ~2x on the whole
@@ -596,9 +597,19 @@ def dedup(enriched: DataFrame, buckets: int = 64) -> DedupResult:
     dup_elig = cos_pairs.filter(F.col("cos") >= DUP_COS_MIN).select(
         "id_a", "id_b", "cos"
     )
-    exact = _exact_jaccard_native(
-        dup_elig, feats.select("clip_id", "tok_hashes")
-    )
+    # verify="native" (default): codegen array_intersect joins — measured
+    # faster at every tested scale because the pairs side is tiny.
+    # verify="cogroup": the north-star's cogroup-based detection — ships
+    # each token array once per bucket; the right trade only when pair
+    # amplification dwarfs the corpus (tests prove bit-equal outputs).
+    if verify == "cogroup":
+        exact = _exact_jaccard_cogroup(
+            dup_elig, feats.select("clip_id", "tok_hashes"), buckets
+        )
+    else:
+        exact = _exact_jaccard_native(
+            dup_elig, feats.select("clip_id", "tok_hashes")
+        )
     # P6: lang equality is guaranteed by the band join key -> 0.5 + 0.5*jac
     verified_dups = (
         exact.withColumn("gate", F.lit(0.5) + F.lit(0.5) * F.col("jaccard"))

@@ -104,3 +104,19 @@ def test_connected_components_raises_at_iteration_cap(spark):
     nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 4]], "node bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, nodes, max_iters=1)
+
+
+def test_native_and_cogroup_verify_bit_equal(spark):
+    """The north-star's cogroup-based verify and the default codegen
+    array_intersect verify are interchangeable: same pairs, same gate and
+    similarity values to the last bit (both compute exact set Jaccard on
+    the same sorted-distinct hash arrays)."""
+    from dataquality_spark.datagen.clips import clips_pdf
+    pdf = clips_pdf(300)
+    enriched = enrich(spark.createDataFrame(pdf), DEFAULT_RUN_TS).persist()
+    cols = ["clip_1", "clip_2", "metadata_similarity", "similarity"]
+    a = (dedup(enriched, verify="native").duplicate_pairs.toPandas()[cols]
+         .sort_values(cols[:2], ignore_index=True))
+    b = (dedup(enriched, verify="cogroup").duplicate_pairs.toPandas()[cols]
+         .sort_values(cols[:2], ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
