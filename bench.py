@@ -85,6 +85,11 @@ def main() -> None:
                       extra_conf={
                           "spark.sql.files.maxPartitionBytes": str(split),
                           "spark.sql.files.openCostInBytes": str(1 << 20),
+                          # The scoring CASE trees make uncapped plan-string
+                          # renders cost driver-seconds per AQE stage
+                          # materialization (event-log measured); benchmark
+                          # sessions never read explain output, so cap it.
+                          "spark.sql.maxPlanStringLength": "8192",
                       })
 
     timings: dict[str, float] = {}

@@ -28,8 +28,17 @@ north rule's N-vs-4N criterion is after.  Core-set asymmetry (NUMA /
 hyperthread-sibling layout) is cancelled by SWAPPING sides between
 repeats.
 
+A second artifact its first experiment exposed: the four small copies
+start in lockstep, so their bandwidth-heavy enrich stage lines up with
+the first big run of every window (measured 259-293 s for that run vs
+154-186 s mid-window).  The optional stagger delays small lane i by
+i*stagger_sec so the small fleet presents a time-uniform phase mixture
+— like a steady-state production cluster — and big-run containment is
+then judged against the all-four-lanes-running window (conservative:
+the window edges where fewer lanes run benefit only the small side).
+
 Usage:
-    python tools/run_scaling_sim.py [n_clips] [n_small] [repeats]
+    python tools/run_scaling_sim.py [n_clips] [n_small] [repeats] [stagger_sec]
 """
 
 from __future__ import annotations
@@ -50,6 +59,7 @@ def main() -> None:
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 640000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    stagger = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     n_big = n_small * 4
     workdir = f"/tmp/scaling_{n_clips}"
     os.makedirs(workdir, exist_ok=True)
@@ -81,31 +91,48 @@ def main() -> None:
         ]
         big_cores = ",".join(str(c) for c in big_bank)
 
-        # Launch the small fleet (4N busy cores on one bank)...
-        small_outs, small_procs = [], []
-        for i, cs in enumerate(small_sets):
-            oj = os.path.join(workdir, f"sim_small_{r}_{i}.json")
-            small_outs.append(oj)
-            small_procs.append(
-                submit(workdir, zip_path, clips_path, cs, n_small, oj))
+        # Launch the small fleet (4N busy cores on one bank), lane i
+        # delayed by i*stagger so the fleet's pipeline phases decorrelate.
+        import threading
+
+        small_outs = [os.path.join(workdir, f"sim_small_{r}_{i}.json")
+                      for i in range(4)]
+        small_procs: list = [None, None, None, None]
+
+        def launch_small(i: int, cs: str) -> None:
+            time.sleep(i * stagger)
+            small_procs[i] = submit(workdir, zip_path, clips_path, cs,
+                                    n_small, small_outs[i])
+
+        launchers = [threading.Thread(target=launch_small, args=(i, cs))
+                     for i, cs in enumerate(small_sets)]
+        for th in launchers:
+            th.start()
+
+        def all_small_running() -> bool:
+            return all(p is not None and p.poll() is None for p in small_procs)
+
+        def any_small_pending() -> bool:
+            return any(p is None or p.poll() is None for p in small_procs)
 
         # ...and loop big jobs on the other bank for the whole window.
         big_recs = []
         bi = 0
-        while any(p.poll() is None for p in small_procs):
+        while any_small_pending():
             oj = os.path.join(workdir, f"sim_big_{r}_{bi}.json")
             t0 = time.time()
+            started_in_window = all_small_running()
             p = submit(workdir, zip_path, clips_path, big_cores, n_big, oj)
             p.wait()
-            all_small_alive_at_start = True  # started while loop cond held
-            finished_in_window = all(q.poll() is None for q in small_procs)
+            finished_in_window = all_small_running()
             if p.returncode == 0 and os.path.exists(oj):
                 rec = json.load(open(oj))
-                rec["contained"] = (all_small_alive_at_start
-                                    and finished_in_window)
+                rec["contained"] = started_in_window and finished_in_window
                 rec["t_start"] = round(t0, 1)
                 big_recs.append(rec)
             bi += 1
+        for th in launchers:
+            th.join()
         for p in small_procs:
             if p.wait() != 0:
                 raise SystemExit("small-fleet job failed; see logs")
@@ -138,6 +165,7 @@ def main() -> None:
     summary = {
         "protocol": "simultaneous-density-matched", "n_clips": n_clips,
         "n_small": n_small, "n_big": n_big, "repeats": repeats,
+        "stagger_sec": stagger,
         "efficiencies": effs, "median_efficiency": round(median, 3),
         "runs": results,
     }
