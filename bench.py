@@ -117,12 +117,26 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     clips = spark.read.parquet(CLIPS_CACHE)
     repeat_secs: list[float] = []
+    import threading
+
+    def _sink(df):
+        _force(df)
+
     for _ in range(repeats):
         t0 = time.time()
         res = run_pipeline(clips, DEFAULT_RUN_TS, include_evidence=False)
-        _force(res.results)
+        # duplicate_pairs first (materializes the dedup funnel caches),
+        # then the two independent sinks CONCURRENTLY: each query's
+        # serial driver phases (AQE replan rounds between tiny stages —
+        # the dominant fixed cost at this corpus size) overlap the
+        # other's task execution. Same pattern as tools/scaling_job.py.
         _force(res.duplicate_pairs)
-        _force(res.run_metrics)
+        ths = [threading.Thread(target=_sink, args=(d,))
+               for d in (res.results, res.run_metrics)]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
         repeat_secs.append(round(time.time() - t0, 3))
         release_all()
     clip_sec = min(repeat_secs)

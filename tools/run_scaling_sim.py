@@ -133,9 +133,14 @@ def main() -> None:
             bi += 1
         for th in launchers:
             th.join()
-        for p in small_procs:
-            if p.wait() != 0:
-                raise SystemExit("small-fleet job failed; see logs")
+        if any(p.wait() != 0 for p in small_procs):
+            # A dead lane frees its cores mid-window, which biases every
+            # surviving measurement; the repeat is unusable, not the
+            # experiment (seen once: transient ENOSPC from orphaned
+            # shuffle scratch of previously killed runs).
+            print(json.dumps({"repeat": r, "skipped": "small-lane failure"}),
+                  flush=True)
+            continue
         small = [json.load(open(o)) for o in small_outs]
 
         contained = [b for b in big_recs if b["contained"]]
