@@ -60,6 +60,10 @@ def main() -> None:
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     stagger = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    # Repeat-index offset: lets a follow-up invocation continue the
+    # bank-swap parity (odd offset starts on bank B) and keeps result
+    # filenames from colliding with the prior invocation's.
+    r_off = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     n_big = n_small * 4
     workdir = f"/tmp/scaling_{n_clips}"
     os.makedirs(workdir, exist_ok=True)
@@ -82,7 +86,7 @@ def main() -> None:
     bank_b = list(range(4 * n_small, 8 * n_small))
 
     results = []
-    for r in range(repeats):
+    for r in range(r_off, r_off + repeats):
         small_bank, big_bank = (bank_a, bank_b) if r % 2 == 0 else (
             bank_b, bank_a)
         small_sets = [
