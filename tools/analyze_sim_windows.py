@@ -44,8 +44,14 @@ def main() -> None:
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     effs = []
     for r in range(repeats):
-        lanes = [task_window(os.path.join(workdir, f"sim_small_{r}_{i}.json"))
-                 for i in range(4)]
+        lane_paths = [os.path.join(workdir, f"sim_small_{r}_{i}.json")
+                      for i in range(4)]
+        if not all(os.path.exists(p) for p in lane_paths):
+            print(json.dumps({"repeat": r,
+                              "skipped": "missing lane result (harness "
+                                         "skipped this repeat)"}))
+            continue
+        lanes = [task_window(p) for p in lane_paths]
         w0 = max(s for s, _, _ in lanes)
         w1 = min(e for _, e, _ in lanes)
         bigs = []
