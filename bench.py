@@ -154,8 +154,17 @@ def main() -> None:
         fingerprint_pairs,
     )
 
+    # Split sizing per stage shape: the flagship's fused enrich wants 4
+    # task-waves per core (balancing), but the audio-dedup family's DSP is
+    # one vectorized Arrow pass over the scan — per-task setup dominates at
+    # 4 waves, and ONE wave of fat splits measures ~40% faster on the
+    # offset matcher (A/B: 128/64/32-split ladder, both directions).
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                   str(max(2 << 20, _dir_bytes(CLIPS_CACHE) // CPUS)))
+    audio_clips = spark.read.parquet(CLIPS_CACHE)
+
     t0 = time.time()
-    fp = cached(audio_fingerprints(clips))
+    fp = cached(audio_fingerprints(audio_clips))
     _force(fingerprint_pairs(fp))
     timings["audio_fingerprint_dedup"] = round(time.time() - t0, 3)
     release_all()
@@ -171,9 +180,11 @@ def main() -> None:
 
     t0 = time.time()
     # offset_align_pairs persists its fingerprint input internally
-    _force(offset_align_pairs(offset_fingerprints(clips)))
+    _force(offset_align_pairs(offset_fingerprints(audio_clips)))
     timings["audio_offset_align_dedup"] = round(time.time() - t0, 3)
     release_all()
+    # restore the flagship/catalog split sizing
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
     # --- catalog headline queries ---------------------------------------
     for name, q in CATALOG.items():
