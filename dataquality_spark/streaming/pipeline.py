@@ -220,19 +220,44 @@ def _approvals_fn(
     # desc(ts), desc(status)) — so batch and streaming agree even on a
     # same-timestamp reject-then-approve sequence, in any arrival order.
     dims: dict = json.loads(state.get[0]) if state.exists else {}
+    # Vectorized latest-wins fold: stack prior state + every Arrow chunk,
+    # stable-sort ascending by (ts_ns, status) and keep the LAST row per
+    # dimension — per dimension that is the max ts, ties broken by max
+    # status, exactly the (ts DESC, status DESC) comparator above.
+    frames = [
+        pd.DataFrame(
+            {
+                "dimension": list(dims),
+                "status": [v[0] for v in dims.values()],
+                "ts_ns": pd.array([v[1] for v in dims.values()], dtype="int64"),
+            }
+        )
+    ] if dims else []
     for pdf in pdfs:
-        for _, row in pdf.iterrows():
-            ts_ns = int(pd.Timestamp(row["ts"]).value)
-            cur = dims.get(row["dimension"])
-            if (
-                cur is None
-                or ts_ns > cur[1]
-                or (ts_ns == cur[1] and str(row["status"]) > cur[0])
-            ):
-                dims[row["dimension"]] = [row["status"], ts_ns]
+        if len(pdf):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "dimension": pdf["dimension"].astype(str),
+                        "status": pdf["status"].astype(str),
+                        "ts_ns": pd.to_datetime(pdf["ts"]).astype("int64"),
+                    }
+                )
+            )
+    if frames:
+        stacked = pd.concat(frames, ignore_index=True)
+        latest = stacked.sort_values(
+            ["ts_ns", "status"], kind="mergesort"
+        ).drop_duplicates("dimension", keep="last")
+    else:
+        latest = pd.DataFrame(columns=["dimension", "status", "ts_ns"])
+    dims = {
+        d: [s, int(t)]
+        for d, s, t in zip(latest["dimension"], latest["status"], latest["ts_ns"])
+    }
     state.update((json.dumps(dims, sort_keys=True),))
-    approvals = sum(1 for s, _ in dims.values() if s == "approved")
-    rejections = sum(1 for s, _ in dims.values() if s == "rejected")
+    approvals = int((latest["status"] == "approved").sum())
+    rejections = int((latest["status"] == "rejected").sum())
     yield pd.DataFrame(
         {
             "file_key": [key[0]],
