@@ -4,11 +4,17 @@ Runs every ``queries()`` entry through Spark and, when an oracle exists,
 the paired SQL through DuckDB on the same parquet tables; compares row
 count, column names, and order-insensitive values. Usage:
 
-    python tools/selfcheck.py [sf_dir] [name ...]
+    python tools/selfcheck.py [--json OUT.json] [sf_dir] [name ...]
+
+With --json, writes one record per query (rows/schema/hash matches +
+row counts + wall seconds) in the same shape as the driver's
+CORRECTNESS artifacts, so demoted catalog entries past the driver's
+50-row window keep a committed, reproducible evidence trail.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -27,8 +33,15 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
     from dataquality_spark.session import get_spark
@@ -47,28 +60,40 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = records[name] = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None, "sec": None,
+        }
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"spark {type(e).__name__}: {e}"
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
         dt = time.time() - t0
+        rec["sec"] = round(dt, 2)
+        rec["spark_rows"] = len(sdf)
         if name not in oracles:
+            rec["err"] = "rows-only (no oracle)"
             print(f"ok*   {name}: {len(sdf)} rows (rows-only, no oracle) [{dt:.1f}s]")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"duckdb {type(e).__name__}: {e}"
             print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
             continue
-        if sorted(sdf.columns) != sorted(odf.columns):
+        rec["oracle_rows"] = len(odf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        if not rec["schema_match"]:
             failures.append(name)
             print(f"FAIL  {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
             continue
-        if len(sdf) != len(odf):
+        rec["rows_match"] = len(sdf) == len(odf)
+        if not rec["rows_match"]:
             failures.append(name)
             print(f"FAIL  {name}: rows {len(sdf)} vs {len(odf)}")
             continue
@@ -89,6 +114,7 @@ def main() -> int:
                 i = neq[c].idxmax()
                 print(f"      first diff {c}[{i}]: spark={a[c][i]!r} oracle={b[c][i]!r}")
             continue
+        rec["hash_match"] = True
         print(f"OK    {name}: {len(sdf)} rows match [{dt:.1f}s]")
 
     if not only:
@@ -98,6 +124,10 @@ def main() -> int:
         print(f"entry(): {n} rows, schema: {[f.name for f in edf.schema.fields]} [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_out} ({len(records)} records)")
     spark.stop()
     return 1 if failures else 0
 
