@@ -832,13 +832,12 @@ ivf AS (
   LIMIT 10),
 exact AS (
   SELECT v.vec_id FROM embeddings v CROSS JOIN p WHERE v.vec_id <> 0
-  ORDER BY {cos_pv} DESC, v.vec_id LIMIT 10),
-rec AS (
-  SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
-  FROM ivf JOIN exact ON ivf.vec_id = exact.vec_id)
-SELECT ivf.vec_id, ivf.cos_sim, rec.recall_at_10
-FROM ivf CROSS JOIN rec
-ORDER BY cos_sim DESC, vec_id
+  ORDER BY {cos_pv} DESC, v.vec_id LIMIT 10)
+SELECT i.vec_id, i.cos_sim,
+       CAST(sum(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END) OVER ()
+            AS DOUBLE) / 10.0 AS recall_at_10
+FROM ivf i LEFT JOIN exact e ON i.vec_id = e.vec_id
+ORDER BY cos_sim DESC, i.vec_id
 """
 
 
@@ -854,7 +853,10 @@ _q(
         "(TakeOrderedAndProject), not a global window. recall_at_10 vs "
         "the brute-force exact top-10 is reported as a column (both "
         "dialects recompute it), so retrieval QUALITY is oracle-checked, "
-        "not just determinism.",
+        "not just determinism. The audit is bounded: one probe, one "
+        "corpus pass, and the top-10 frame is referenced exactly once "
+        "(LEFT JOIN + window sum, not a second rec-CTE expansion) — at "
+        "production scale the same audit runs over a sampled probe set.",
     tags=("ann", "bench"),
 )
 
@@ -2059,13 +2061,12 @@ ivf AS (
   LIMIT 10),
 exact AS (
   SELECT r.vec_id FROM e r CROSS JOIN p WHERE r.vec_id <> 0
-  ORDER BY {cos} DESC, r.vec_id LIMIT 10),
-rec AS (
-  SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
-  FROM ivf JOIN exact ON ivf.vec_id = exact.vec_id)
-SELECT ivf.vec_id, ivf.cos_sim, rec.recall_at_10
-FROM ivf CROSS JOIN rec
-ORDER BY cos_sim DESC, vec_id
+  ORDER BY {cos} DESC, r.vec_id LIMIT 10)
+SELECT i.vec_id, i.cos_sim,
+       CAST(sum(CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END) OVER ()
+            AS DOUBLE) / 10.0 AS recall_at_10
+FROM ivf i LEFT JOIN exact x ON i.vec_id = x.vec_id
+ORDER BY cos_sim DESC, i.vec_id
 """
 
 
@@ -3768,16 +3769,14 @@ scored AS (
 ),
 ham_topk AS (SELECT vec_id, hamming, cf FROM scored
              ORDER BY hamming ASC, vec_id LIMIT 10),
-cos_topk AS (SELECT vec_id FROM scored ORDER BY cf DESC, vec_id LIMIT 10),
-rec AS (
-  SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
-  FROM ham_topk h JOIN cos_topk c ON h.vec_id = c.vec_id)
+cos_topk AS (SELECT vec_id FROM scored ORDER BY cf DESC, vec_id LIMIT 10)
 SELECT h.vec_id, h.hamming,
        round(h.cf, 6) AS cos_full,
        CAST(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
          AS in_cos_top10,
-       rec.recall_at_10
-FROM ham_topk h LEFT JOIN cos_topk c ON h.vec_id = c.vec_id CROSS JOIN rec
+       CAST(sum(CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END) OVER ()
+            AS DOUBLE) / 10.0 AS recall_at_10
+FROM ham_topk h LEFT JOIN cos_topk c ON h.vec_id = c.vec_id
 ORDER BY h.hamming ASC, h.vec_id
 """
 
