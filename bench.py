@@ -119,8 +119,15 @@ def main() -> None:
     repeat_secs: list[float] = []
     import threading
 
+    # Sink threads must not swallow failures — a dropped exception would
+    # record a silently-short wall as a valid repeat.
+    _sink_errs: list[BaseException] = []
+
     def _sink(df):
-        _force(df)
+        try:
+            _force(df)
+        except BaseException as e:  # noqa: BLE001 — re-raised after join
+            _sink_errs.append(e)
 
     for _ in range(repeats):
         t0 = time.time()
@@ -137,6 +144,8 @@ def main() -> None:
             th.start()
         for th in ths:
             th.join()
+        if _sink_errs:
+            raise _sink_errs[0]
         repeat_secs.append(round(time.time() - t0, 3))
         release_all()
     clip_sec = min(repeat_secs)

@@ -1,7 +1,7 @@
 """Host busy-density probe: is per-core capacity constant as more vCPUs
 go busy?  (It is on a real cluster node; it is NOT on this virtualized
 host — the evidence behind the density-matched scaling protocol in
-tools/run_scaling_matched.py and BENCH.md.)
+tools/run_scaling_sim.py and BENCH.md.)
 
 Times each enrich-stage component (WAV decode + stats, langid, char-LM
 perplexity, regex scrub, MinHash/bands/BoW, plus the two pure-Python

@@ -1,12 +1,13 @@
 """Simultaneous density-matched strong-scaling experiment (N vs 4N cores).
 
-tools/run_scaling_matched.py equalized busy-core DENSITY between the two
-cluster sizes (four N-core copies vs one 4N-core job, both 4N busy
-cores) but still ran the two sides in SEQUENCE — and its own results
-show minutes-long host-noise windows large enough to produce a
-superlinear 1.51 "efficiency" in one repeat (small fleet hit a noisy
-window, the big job a quiet one).  Sequencing leaves temporal drift in
-the ratio.
+This is the FINAL protocol of an evolution documented in BENCH.md §"How
+the scaling protocol evolved" (sequential best-of, paired-alternation,
+density-matched sequential — all retired; their results are retained in
+BENCH.md prose and scaling_r03.jsonl). The earlier harnesses equalized
+busy-core DENSITY between the two cluster sizes but still ran the two
+sides in SEQUENCE, and minutes-long host-noise windows on this
+virtualized 32-vCPU box produced ratio artifacts as large as a
+superlinear 1.51 "efficiency" in one repeat.
 
 This harness removes the time dimension too: both sides run AT THE SAME
 TIME on disjoint core sets of the 32-vCPU host —
@@ -37,6 +38,11 @@ i*stagger_sec so the small fleet presents a time-uniform phase mixture
 then judged against the all-four-lanes-running window (conservative:
 the window edges where fewer lanes run benefit only the small side).
 
+Result files carry the harness invocation's run_id and in-JSON task
+start/end timestamps, and land in a fresh per-invocation subdirectory —
+tools/analyze_sim_windows.py keys on both, so stale artifacts from a
+prior or crashed invocation can never enter the accounting.
+
 Usage:
     python tools/run_scaling_sim.py [n_clips] [n_small] [repeats] [stagger_sec]
 """
@@ -45,14 +51,53 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
+import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(REPO, "tools"))
+SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
 
-from run_scaling import build_zip  # noqa: E402
-from run_scaling_matched import submit  # noqa: E402
+
+def build_zip(path: str) -> None:
+    """Package the library for spark-submit --py-files (the deployment
+    mode the north rule names)."""
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "dataquality_spark")
+        for root, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+
+
+def submit(rundir: str, zip_path: str, clips_path: str, cores: str,
+           ncores: int, out_json: str, run_id: str) -> subprocess.Popen:
+    cmd = [
+        "taskset", "-c", cores,
+        SPARK_SUBMIT, "--master", f"local[{ncores}]",
+        # Same per-job heap on both sides: memory is not the scaled
+        # resource (per-core memory is then 4x HIGHER on the small side —
+        # a bias AGAINST the efficiency number, not for it).
+        "--driver-memory", "16g",
+        "--py-files", zip_path,
+        os.path.join(REPO, "tools", "scaling_job.py"),
+        clips_path, str(ncores), out_json,
+    ]
+    env = dict(os.environ)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        env[var] = "1"
+    env["SCALING_RUN_ID"] = run_id
+    # Each copy needs its own tmp/derby scratch so 4 concurrent local
+    # sessions do not collide on metastore_db / spark tmp dirs.
+    scratch = os.path.join(rundir, f"scratch_{cores.replace(',', '_')}")
+    os.makedirs(scratch, exist_ok=True)
+    env["SPARK_LOCAL_DIRS"] = scratch
+    log = open(out_json + ".log", "w")
+    return subprocess.Popen(cmd, cwd=scratch, env=env,
+                            stdout=log, stderr=subprocess.STDOUT)
 
 
 def main() -> None:
@@ -61,8 +106,7 @@ def main() -> None:
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     stagger = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     # Repeat-index offset: lets a follow-up invocation continue the
-    # bank-swap parity (odd offset starts on bank B) and keeps result
-    # filenames from colliding with the prior invocation's.
+    # bank-swap parity (odd offset starts on bank B).
     r_off = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     n_big = n_small * 4
     workdir = f"/tmp/scaling_{n_clips}"
@@ -79,6 +123,14 @@ def main() -> None:
         spark = get_spark(app_name="scaling_datagen")
         write_clips_parquet(spark, clips_path, n_clips)
         spark.stop()
+
+    # Fresh per-invocation result directory: the analyzer reads exactly
+    # this tree, so leftovers from prior/crashed invocations (the input
+    # parquet and zip above are the only shared, immutable artifacts)
+    # cannot be ingested.
+    run_id = f"{int(time.time())}_{os.getpid()}"
+    rundir = os.path.join(workdir, f"run_{run_id}")
+    os.makedirs(rundir)
 
     # Two disjoint 4N-core banks; sides swap banks between repeats so
     # any core-set asymmetry cancels in the median.
@@ -99,14 +151,14 @@ def main() -> None:
         # delayed by i*stagger so the fleet's pipeline phases decorrelate.
         import threading
 
-        small_outs = [os.path.join(workdir, f"sim_small_{r}_{i}.json")
+        small_outs = [os.path.join(rundir, f"sim_small_{r}_{i}.json")
                       for i in range(4)]
         small_procs: list = [None, None, None, None]
 
         def launch_small(i: int, cs: str) -> None:
             time.sleep(i * stagger)
-            small_procs[i] = submit(workdir, zip_path, clips_path, cs,
-                                    n_small, small_outs[i])
+            small_procs[i] = submit(rundir, zip_path, clips_path, cs,
+                                    n_small, small_outs[i], run_id)
 
         launchers = [threading.Thread(target=launch_small, args=(i, cs))
                      for i, cs in enumerate(small_sets)]
@@ -123,16 +175,15 @@ def main() -> None:
         big_recs = []
         bi = 0
         while any_small_pending():
-            oj = os.path.join(workdir, f"sim_big_{r}_{bi}.json")
-            t0 = time.time()
+            oj = os.path.join(rundir, f"sim_big_{r}_{bi}.json")
             started_in_window = all_small_running()
-            p = submit(workdir, zip_path, clips_path, big_cores, n_big, oj)
+            p = submit(rundir, zip_path, clips_path, big_cores, n_big, oj,
+                       run_id)
             p.wait()
             finished_in_window = all_small_running()
             if p.returncode == 0 and os.path.exists(oj):
                 rec = json.load(open(oj))
                 rec["contained"] = started_in_window and finished_in_window
-                rec["t_start"] = round(t0, 1)
                 big_recs.append(rec)
             bi += 1
         for th in launchers:
@@ -148,8 +199,18 @@ def main() -> None:
         small = [json.load(open(o)) for o in small_outs]
 
         contained = [b for b in big_recs if b["contained"]]
-        usable = contained if contained else big_recs
-        walls = sorted(b["wall_sec"] for b in usable)
+        if not contained:
+            # Never widen to out-of-window runs on one side of the ratio
+            # — that mixes host-noise windows the protocol exists to
+            # exclude. The analyzer's task-span accounting may still
+            # rescue the repeat from the recorded timestamps.
+            print(json.dumps({"repeat": r,
+                              "no_contained_big_run": True,
+                              "big_walls_sec": [b["wall_sec"]
+                                                for b in big_recs]}),
+                  flush=True)
+            continue
+        walls = sorted(b["wall_sec"] for b in contained)
         med_big = walls[len(walls) // 2] if len(walls) % 2 else (
             (walls[len(walls) // 2 - 1] + walls[len(walls) // 2]) / 2)
         agg_small = sum(n_clips / s["wall_sec"] for s in small)
@@ -169,20 +230,22 @@ def main() -> None:
         print(json.dumps(rec), flush=True)
 
     effs = sorted(r["efficiency"] for r in results)
-    median = effs[len(effs) // 2] if len(effs) % 2 else (
-        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2)
     summary = {
-        "protocol": "simultaneous-density-matched", "n_clips": n_clips,
-        "n_small": n_small, "n_big": n_big, "repeats": repeats,
-        "stagger_sec": stagger,
-        "efficiencies": effs, "median_efficiency": round(median, 3),
-        "runs": results,
+        "protocol": "simultaneous-density-matched", "run_id": run_id,
+        "n_clips": n_clips, "n_small": n_small, "n_big": n_big,
+        "repeats": repeats, "stagger_sec": stagger,
+        "efficiencies": effs, "runs": results,
     }
-    out = os.path.join(workdir, "sim_summary.json")
+    if effs:
+        median = effs[len(effs) // 2] if len(effs) % 2 else (
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2)
+        summary["median_efficiency"] = round(median, 3)
+    out = os.path.join(rundir, "sim_summary.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
-    print(json.dumps({k: summary[k] for k in
-                      ("protocol", "efficiencies", "median_efficiency")}))
+    print(json.dumps({k: summary.get(k) for k in
+                      ("protocol", "run_id", "efficiencies",
+                       "median_efficiency")}))
     print("summary ->", out)
 
 

@@ -102,8 +102,15 @@ def main() -> None:
     res.duplicate_pairs.write.format("noop").mode("overwrite").save()
     import threading
 
+    # A sink failure must fail the RUN: threads swallow exceptions by
+    # default, and a silently-short wall would inflate throughput.
+    errs: list[BaseException] = []
+
     def _sink(df):
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        except BaseException as e:  # noqa: BLE001 — re-raised after join
+            errs.append(e)
 
     ts = [threading.Thread(target=_sink, args=(d,))
           for d in (res.results, res.run_metrics)]
@@ -111,11 +118,19 @@ def main() -> None:
         th.start()
     for th in ts:
         th.join()
-    wall = time.time() - t0
+    if errs:
+        raise errs[0]
+    t1 = time.time()
+    wall = t1 - t0
     release_all()
 
+    # t_task_start/end let the window analyzer pin the TIMED span from
+    # the record itself (mtimes drift under copies/touch and can ingest
+    # stale artifacts); run_id ties the file to one harness invocation.
     out = {"cores": cores, "n_clips": n, "wall_sec": round(wall, 2),
-           "clips_per_sec": round(n / wall, 1)}
+           "clips_per_sec": round(n / wall, 1),
+           "t_task_start": round(t0, 3), "t_task_end": round(t1, 3),
+           "run_id": os.environ.get("SCALING_RUN_ID", "")}
     with open(out_json, "w") as f:
         json.dump(out, f)
     print(json.dumps(out))
