@@ -83,7 +83,10 @@ def promote(results: DataFrame, counts: DataFrame,
     state, so such a file reverts to the pipeline action.  Stateless
     re-derivation is the scalable batch shape (any snapshot replays to the
     same answer; no event-order-dependent flag to checkpoint), mirroring
-    the dedup-reporting deviation documented in operators/dedup.py."""
+    the dedup-reporting deviation documented in operators/dedup.py.
+    :func:`promote_event_ordered` is the opt-in reference-parity mode —
+    both semantics are oracle-checked, and doc_approvals_sticky_review
+    exhibits the divergence rows."""
     joined = results.join(
         counts.withColumnRenamed("file_key", key), key, "left"
     ).fillna({"approvals": 0, "rejections": 0})
@@ -93,3 +96,77 @@ def promote(results: DataFrame, counts: DataFrame,
         .otherwise(F.col("recommended_action"))
     )
     return joined.withColumn("final_action", final)
+
+
+def promote_event_ordered(results: DataFrame, events: DataFrame,
+                          key: str = "clip_id") -> DataFrame:
+    """Opt-in reference-parity promotion: replay the approval events in
+    time order with the reference's AT-EVENT-TIME transitions
+    (routes.py:626-638 approve, :698-709 reject), so REVIEW is sticky.
+
+    Each HTTP call in the reference mutates ``recommended_action`` when
+    it fires a transition: an approve that brings the approved-dimension
+    count to >= 7 sets APPROVED; a reject that leaves it < 7 sets
+    REVIEW.  A non-triggering event (approve below the bar, reject while
+    still >= 7, reanalyze) leaves the action alone — which is exactly
+    why a reject-then-reapprove file keeps REVIEW even though its
+    CURRENT state has zero rejections (the divergence :func:`promote`
+    documents).  The fold is order-dependent but needs no mutable state:
+
+    * per (file, dimension): ``lag(status)`` gives each event's delta to
+      the approved-dimension count (+1 newly approved, -1 approval
+      overwritten, 0 otherwise);
+    * per file: a running sum of deltas over (ts, event_id) order is the
+      count AFTER each event — the same number the reference recomputes
+      from its mutated map at each call;
+    * the LAST transition-firing event per file decides the action;
+      files with no trigger keep the pipeline action.
+
+    Three narrow windows + one broadcast-able join; events shuffle once
+    on file_key (the per-dimension window is a prefix of the same key),
+    so replaying 10^12 clips' audit trails is one sort per partition.
+    ``events`` columns: (file_key, dimension, status, ts, event_id) with
+    event_id unique per file — the reference serializes calls, so the
+    (ts, event_id) order is the call order."""
+    per_dim = Window.partitionBy("file_key", "dimension").orderBy(
+        "ts", "event_id")
+    per_file = (
+        Window.partitionBy("file_key").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_appr = (F.col("status") == STATUS_APPROVED).cast("int")
+    was_appr = (
+        F.lag("status").over(per_dim) == STATUS_APPROVED
+    ).cast("int")
+    folded = (
+        events.withColumn("delta", is_appr - F.coalesce(was_appr, F.lit(0)))
+        .withColumn("cnt_after", F.sum("delta").over(per_file))
+        .withColumn(
+            "trigger",
+            F.when(
+                (F.col("status") == STATUS_APPROVED)
+                & (F.col("cnt_after") >= APPROVALS_PROMOTE_MIN),
+                F.lit("APPROVED"),
+            ).when(
+                (F.col("status") == STATUS_REJECTED)
+                & (F.col("cnt_after") < APPROVALS_PROMOTE_MIN),
+                F.lit("REVIEW"),
+            ),
+        )
+    )
+    last_trigger = Window.partitionBy("file_key").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    sticky = (
+        folded.filter(F.col("trigger").isNotNull())
+        .withColumn("rn", F.row_number().over(last_trigger))
+        .filter(F.col("rn") == 1)
+        .select("file_key", F.col("trigger").alias("sticky_trigger"))
+    )
+    return (
+        results.join(sticky.withColumnRenamed("file_key", key), key, "left")
+        .withColumn(
+            "final_action",
+            F.coalesce(F.col("sticky_trigger"), F.col("recommended_action")),
+        )
+        .drop("sticky_trigger")
+    )

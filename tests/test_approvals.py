@@ -12,6 +12,7 @@ from dataquality_spark.operators.approvals import (
     approval_counts,
     latest_dimension_state,
     promote,
+    promote_event_ordered,
     upsert_approvals,
 )
 
@@ -87,3 +88,59 @@ def test_files_without_events_keep_base_action(spark):
     res = _results(spark, [("A", "KEEP"), ("Z", "DISCARD")])
     out = _finals(promote(res, counts))
     assert out == {"A": "KEEP", "Z": "DISCARD"}
+
+
+# ---- event-ordered (sticky) reference-parity mode -------------------------
+
+def _ordered_events(spark, rows):
+    # minute index doubles as event_id: unique and in call order, like the
+    # reference's serialized HTTP calls.
+    return spark.createDataFrame(
+        [(f, d, s, T0 + dt.timedelta(minutes=m), m) for f, d, s, m in rows],
+        "file_key string, dimension string, status string, ts timestamp, "
+        "event_id long",
+    )
+
+
+def _sticky(spark, rows, base=(("A", "KEEP"),)):
+    return _finals(promote_event_ordered(
+        _results(spark, list(base)), _ordered_events(spark, rows)))
+
+
+def test_sticky_review_survives_reapproval_below_bar(spark):
+    # The routes.py:698-709 divergence case: reject fires REVIEW at event
+    # time; the later re-approval (count still < 7) fires nothing, so
+    # REVIEW sticks — while the stateless mode, seeing zero CURRENT
+    # rejections, reverts to the base action.
+    rows = [("A", f"dim{i}", "approved", i) for i in range(3)]
+    rows += [("A", "dim1", "rejected", 10), ("A", "dim1", "approved", 20)]
+    assert _sticky(spark, rows) == {"A": "REVIEW"}
+    ev = _ordered_events(spark, rows)
+    stateless = _finals(promote(
+        _results(spark, [("A", "KEEP")]),
+        approval_counts(latest_dimension_state(ev.drop("event_id")))))
+    assert stateless == {"A": "KEEP"}  # the two verified modes diverge
+
+
+def test_sticky_approved_survives_reanalyze_below_bar(spark):
+    # 7 approvals fire APPROVED; a reanalyze overwriting one approval
+    # drops the count to 6 but fires no transition -> APPROVED sticks
+    # (the reference's reanalyze route never touches recommended_action).
+    rows = [("A", f"dim{i}", "approved", i) for i in range(7)]
+    rows.append(("A", "dim0", "reanalyzed", 10))
+    assert _sticky(spark, rows) == {"A": "APPROVED"}
+
+
+def test_sticky_demotion_still_fires_on_below_bar_reject(spark):
+    # A reject that lands while count < 7 fires REVIEW in BOTH modes.
+    rows = [("A", f"dim{i}", "approved", i) for i in range(7)]
+    rows.append(("A", "dim0", "rejected", 10))
+    assert _sticky(spark, rows) == {"A": "REVIEW"}
+
+
+def test_sticky_no_trigger_keeps_base(spark):
+    # Approvals below the bar and rejects at >= 7 fire nothing.
+    rows = [("A", f"dim{i}", "approved", i) for i in range(4)]
+    assert _sticky(spark, rows, base=(("A", "QUARANTINE"),)) == {
+        "A": "QUARANTINE"}
+    assert _sticky(spark, [], base=(("A", "KEEP"),)) == {"A": "KEEP"}

@@ -78,14 +78,16 @@ def test_every_query_has_an_oracle():
     assert not missing, f"queries without oracle: {missing}"
 
 
-def test_catalog_frozen_at_87():
-    """Round-3 freeze: the driver's correctness gate records one row per
-    queries() entry, so the catalog must not grow mid-round (additions
-    after the driver's check produce unevidenced queries — the round-2
-    lesson). Bump this ONLY together with a round-boundary freeze note
-    in SURVEY.md §8."""
-    assert len(CATALOG) == 87, (
-        f"catalog has {len(CATALOG)} queries; the round-3 freeze is 87"
+def test_catalog_frozen_at_88():
+    """Round freeze: the driver's correctness gate records one row per
+    queries() entry (first 50, curated via DRIVER_WINDOW), so the catalog
+    must not grow mid-round (additions after the driver's check produce
+    unevidenced queries — the round-2 lesson). Bump this ONLY together
+    with a round-boundary freeze note in SURVEY.md §8. Round-4 freeze:
+    88 = 87 + doc_approvals_sticky_review (the event-ordered P7 parity
+    mode), registered past the driver window and selfcheck-evidenced."""
+    assert len(CATALOG) == 88, (
+        f"catalog has {len(CATALOG)} queries; the round-4 freeze is 88"
     )
 
 
