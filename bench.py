@@ -35,6 +35,35 @@ CLIPS_CACHE = os.environ.get(
 )
 
 
+def _host_load() -> dict:
+    """Snapshot host contention so a confounded run is self-evident in the
+    artifact (the r4 bench was invalidated by a background job pinning
+    cores — uniform 1.3-5.9x inflation with nothing in the JSON to show
+    why).  Records /proc/loadavg plus the number of OTHER running
+    (R-state) processes at bench start."""
+    try:
+        with open("/proc/loadavg") as f:
+            la = f.read().split()
+        load = [float(x) for x in la[:3]]
+    except (OSError, ValueError):
+        load = None
+    running = 0
+    try:
+        me = os.getpid()
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    if f.read().rsplit(")", 1)[1].split()[0] == "R":
+                        running += 1
+            except OSError:
+                continue
+    except OSError:
+        running = None
+    return {"loadavg": load, "other_running_procs": running}
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _, files in os.walk(path):
@@ -55,6 +84,8 @@ def main() -> None:
     from dataquality_spark.pipeline import run_pipeline
     from dataquality_spark.queries import CATALOG
     from dataquality_spark.session import get_spark
+
+    load_at_start = _host_load()
 
     # Materialize the clips input in a SUBPROCESS so datagen cost (and its
     # JVM heap/GC state — spark.stop() reuses the same py4j JVM) cannot
@@ -217,6 +248,8 @@ def main() -> None:
         "cpus": CPUS,
         "pipeline_repeats": repeats,
         "pipeline_repeat_secs": repeat_secs,
+        "host_load_at_start": load_at_start,
+        "host_load_at_end": _host_load(),
     }))
     spark.stop()
 

@@ -32,6 +32,8 @@ Reference parity notes (file:line into /root/reference):
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -226,6 +228,24 @@ CATALOG: dict[str, QueryDef] = {}
 
 def _q(name: str, **kw) -> None:
     CATALOG[name] = QueryDef(**kw)
+
+
+_FINAL_ORDER_RE = re.compile(
+    r"\bORDER BY [\w.]+(?: (?:ASC|DESC))?(?:, [\w.]+(?: (?:ASC|DESC))?)*\s*$"
+)
+
+
+def _strip_final_order(sql: str) -> str:
+    """Remove a query's trailing top-level ORDER BY so it can be reused
+    as a CTE body.  Anchored to the end of the text (`$`): an ORDER BY
+    inside a window OVER clause is always followed by more SQL and can
+    never match, unlike a bare ``rfind("ORDER BY")`` which would
+    silently truncate mid-query if the base ever gained a later window
+    sort.  Raises if no trailing sort is found rather than guessing."""
+    m = _FINAL_ORDER_RE.search(sql)
+    if not m:
+        raise ValueError("no trailing top-level ORDER BY clause to strip")
+    return sql[: m.start()]
 
 
 # ---------------------------------------------------------------- policy ---
@@ -1107,7 +1127,7 @@ _q(
 
 def _sql_max_pair_sim(d: str) -> str:
     base = _sql_shingle_jaccard(d).strip().rstrip()
-    base = base[: base.rfind("ORDER BY")]
+    base = _strip_final_order(base)
     return (
         f"WITH pairs AS ({base}), "
         f"sides AS (SELECT id_a AS doc_id, jaccard FROM pairs "
@@ -1149,7 +1169,7 @@ def _sql_simhash_hamming_pairs(d: str) -> str:
     hamming distance <= 3 differs in <= 3 bands, so shares >= 1 of 4 —
     exact recall), then verify popcount(xor) <= 3."""
     base = _sql_simhash(d)
-    base = base[: base.rfind("ORDER BY")]
+    base = _strip_final_order(base)
     if d == "spark":
         def band(i: int) -> str:
             return f"shiftright(simhash, {8 * i}) & 255"
@@ -1344,7 +1364,7 @@ _DEFAULT_DIMS = (
 
 def _sql_dimension_averages(d: str) -> str:
     base = _sql_quality_policy(d)
-    base = base[: base.rfind("ORDER BY")]
+    base = _strip_final_order(base)
     pairs = [(name, col) for name, col in _SCORED_DIMS.items()]
     pairs += [(name, str(DEFAULT_SCORE)) for name in _DEFAULT_DIMS]
     pairs.sort()
@@ -1450,7 +1470,7 @@ _q(
 
 def _sql_approvals_promotion(d: str) -> str:
     base = _sql_quality_policy(d)
-    base = base[: base.rfind("ORDER BY")]
+    base = _strip_final_order(base)
     intdiv = "div" if d == "spark" else "//"
     return f"""
 WITH pol AS ({base}),
@@ -1549,7 +1569,7 @@ def _approvals_sticky_review(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_approvals_sticky_oracle() -> str:
     base = _sql_quality_policy("duck")
-    base = base[: base.rfind("ORDER BY")]
+    base = _strip_final_order(base)
     return f"""
 WITH pol AS ({base}),
 appr AS (
@@ -1787,7 +1807,7 @@ _q(
 
 def _sql_lang_quota(d: str) -> str:
     base = _sql_quality_policy(d)
-    base = base[: base.rfind("ORDER BY")]
+    base = _strip_final_order(base)
     return f"""
 WITH pol AS ({base}),
 j AS (SELECT p.doc_id, doc.lang, p.overall_quality_score
@@ -1948,7 +1968,7 @@ _q(
 
 def _sql_quality_percentiles(d: str) -> str:
     base = _sql_quality_policy(d)
-    base = base[: base.rfind("ORDER BY")]
+    base = _strip_final_order(base)
     if d == "spark":
         def q(p: float) -> str:
             return f"percentile(overall_quality_score, {p})"
@@ -1979,7 +1999,7 @@ _q(
 
 def _sql_quality_bands(d: str) -> str:
     base = _sql_quality_policy(d)
-    base = base[: base.rfind("ORDER BY")]
+    base = _strip_final_order(base)
     band = (
         "CASE WHEN overall_quality_score >= 80 THEN 'excellent' "
         "WHEN overall_quality_score >= 60 THEN 'good' "
@@ -2061,7 +2081,7 @@ def _sql_probe_dup_lookup(d: str) -> str:
     its near-duplicates desc (find_duplicates, metadata.py:196-211 +
     C7 percent). Probe = the doc with the most pairs (deterministic)."""
     base = _sql_shingle_jaccard(d)
-    base = base[: base.rfind("ORDER BY")]
+    base = _strip_final_order(base)
     return f"""
 WITH pairs AS ({base}),
 sides AS (
@@ -3788,7 +3808,7 @@ cum AS (
   FROM n
 )
 SELECT doc_id, bucket, n_tokens,
-       cum_end - n_tokens AS start_tok,
+       CAST(cum_end - n_tokens AS BIGINT) AS start_tok,
        CAST((cum_end - n_tokens) {idiv} 4096 AS BIGINT) AS seq_start,
        CAST((cum_end - 1) {idiv} 4096 AS BIGINT) AS seq_end,
        CAST(CASE WHEN (cum_end - n_tokens) {idiv} 4096
@@ -4090,7 +4110,7 @@ packed AS (
   FROM surv
 )
 SELECT doc_id, overall_quality_score, tokens_kept, bucket,
-       cum_end - tokens_kept AS start_tok,
+       CAST(cum_end - tokens_kept AS BIGINT) AS start_tok,
        CAST((cum_end - tokens_kept) {idiv} 4096 AS BIGINT) AS seq_id
 FROM packed ORDER BY doc_id
 """
@@ -4664,6 +4684,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_path_key_ops",            # F1/F4, C2-C5, C14
     "doc_dimension_averages",      # A4
     "doc_approvals_promotion",     # A6, P7
+    "doc_approvals_sticky_review",  # P7 event-ordered sticky-REVIEW mode
     "doc_max_pair_similarity",     # A7
     "doc_neardup_components",      # connected components + canonicalize
     "doc_curation_pipeline",       # composed curation DAG
@@ -4672,8 +4693,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "emb_cosine_pairs",            # J3, C12 cosine math
     "emb_fallback_chain",          # J5, C13 bag-of-words
     "emb_ivf_topk",                # IVF ANN + recall@10
-    "emb_kmeans_ivf_topk",         # k-means IVF ANN + recall@10
     "emb_binary_quant_topk",       # binary-quantized ANN + recall@10
+    # (emb_kmeans_ivf_topk demoted to SELFCHECK in r5: its family keeps two
+    #  driver-green variants; the slot gives doc_approvals_sticky_review —
+    #  r4's new reference-parity mode — a driver row.)
     # -- events: aggregations / windows / sorts / scans --
     "events_daily_trend",          # A3, O7
     "events_seven_day_window",     # F5
@@ -4692,9 +4715,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 
 def _ordered_catalog() -> dict[str, QueryDef]:
+    # Hard errors, not asserts: the driver gate depends on this ordering
+    # at runtime, and asserts vanish under ``python -O``.
     missing = [n for n in DRIVER_WINDOW if n not in CATALOG]
-    assert not missing, f"DRIVER_WINDOW names not in CATALOG: {missing}"
-    assert len(set(DRIVER_WINDOW)) == len(DRIVER_WINDOW) == 50
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names not in CATALOG: {missing}")
+    if not (len(set(DRIVER_WINDOW)) == len(DRIVER_WINDOW) == 50):
+        raise RuntimeError(
+            f"DRIVER_WINDOW must be 50 unique names, got "
+            f"{len(DRIVER_WINDOW)} ({len(set(DRIVER_WINDOW))} unique)")
     rest = [n for n in CATALOG if n not in set(DRIVER_WINDOW)]
     return {n: CATALOG[n] for n in (*DRIVER_WINDOW, *rest)}
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 THRESHOLDS = (1.0, 0.9, 0.8)
@@ -45,7 +46,12 @@ def load_result(path: str, run_id: str) -> tuple[float, float, float]:
         raise SystemExit(
             f"{path}: run_id {rec.get('run_id')!r} does not match the run "
             f"directory's {run_id!r} — stale or foreign artifact")
-    return rec["t_task_start"], rec["t_task_end"], rec["wall_sec"]
+    s, e = rec["t_task_start"], rec["t_task_end"]
+    if not e > s:
+        raise SystemExit(
+            f"{path}: non-positive task span ({s} .. {e}) — malformed "
+            f"artifact, refusing to count it")
+    return s, e, rec["wall_sec"]
 
 
 def median(xs: list[float]) -> float:
@@ -57,13 +63,25 @@ def median(xs: list[float]) -> float:
 def main() -> None:
     rundir = sys.argv[1].rstrip("/")
     n_clips = int(sys.argv[2])
-    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     base = os.path.basename(rundir)
     if not base.startswith("run_"):
         raise SystemExit("pass the per-invocation run_<id> directory")
     run_id = base[len("run_"):]
+    # Discover repeat indices from the artifacts themselves (lane 0 of
+    # each repeat) so invocations that used run_scaling_sim.py's r_off
+    # offset — whose files are named sim_small_{r_off+k}_* — are
+    # analyzed instead of reported as all-missing.
+    repeat_ids = sorted(
+        int(m.group(1))
+        for f in os.listdir(rundir)
+        if (m := re.fullmatch(r"sim_small_(\d+)_0\.json", f))
+    )
+    if len(sys.argv) > 3:  # optional cap, kept for CLI compatibility
+        repeat_ids = repeat_ids[: int(sys.argv[3])]
+    if not repeat_ids:
+        raise SystemExit(f"{rundir}: no sim_small_<r>_0.json results found")
     effs: dict[float, list[float]] = {t: [] for t in THRESHOLDS}
-    for r in range(repeats):
+    for r in repeat_ids:
         lane_paths = [os.path.join(rundir, f"sim_small_{r}_{i}.json")
                       for i in range(4)]
         if not all(os.path.exists(p) for p in lane_paths):

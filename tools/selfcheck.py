@@ -19,6 +19,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, ".")
@@ -30,6 +31,48 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].astype(str)
     return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def compare_values(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
+    """Order-insensitive value comparison, as strict as the driver's hash.
+
+    The driver tolerates width differences within a numeric kind (int32
+    vs int64 hash identically once collected) but NOT cross-kind drift:
+    a DuckDB HUGEINT window-sum landing as float64 against Spark's int64
+    hashes 0.0 vs 0 and goes red even though the values are numerically
+    equal (the r4 ``doc_curation_pipeline`` bug, which the old
+    dtype-coercion fallback here masked for three rounds).  So:
+    same-kind width differences are widened and compared; any cross-kind
+    mismatch is a hard FAIL, never harmonized.  Returns (ok, reason).
+    """
+    a, b = normalize(sdf), normalize(odf)
+    kind_bad = []
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka == kb or {ka, kb} <= {"i", "u"}:
+            continue
+        kind_bad.append(f"{c}: spark {a[c].dtype} vs oracle {b[c].dtype}")
+    if kind_bad:
+        return False, "dtype mismatch: " + "; ".join(kind_bad)
+    for c in a.columns:  # same-kind width widening only (int32 vs int64)
+        if a[c].dtype != b[c].dtype:
+            try:
+                t = np.result_type(a[c].dtype, b[c].dtype)
+                a[c] = a[c].astype(t)
+                b[c] = b[c].astype(t)
+            except (ValueError, TypeError):
+                a[c] = a[c].astype(str)
+                b[c] = b[c].astype(str)
+    if not a.equals(b):
+        neq = (a != b) & ~(a.isna() & b.isna())
+        bad_cols = [c for c in a.columns if neq[c].any()]
+        detail = []
+        for c in bad_cols[:2]:
+            i = neq[c].idxmax()
+            detail.append(f"first diff {c}[{i}]: spark={a[c][i]!r} oracle={b[c][i]!r}")
+        return False, f"value mismatch in {bad_cols}" + (
+            " (" + "; ".join(detail) + ")" if detail else "")
+    return True, ""
 
 
 def main() -> int:
@@ -97,22 +140,11 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: rows {len(sdf)} vs {len(odf)}")
             continue
-        a, b = normalize(sdf), normalize(odf)
-        for c in a.columns:  # dtype harmonization (e.g. int32 vs int64)
-            if a[c].dtype != b[c].dtype:
-                try:
-                    b[c] = b[c].astype(a[c].dtype)
-                except (ValueError, TypeError):
-                    a[c] = a[c].astype(str)
-                    b[c] = b[c].astype(str)
-        if not a.equals(b):
-            neq = (a != b) & ~(a.isna() & b.isna())
-            bad_cols = [c for c in a.columns if neq[c].any()]
+        ok, reason = compare_values(sdf, odf)
+        if not ok:
             failures.append(name)
-            print(f"FAIL  {name}: value mismatch in {bad_cols}")
-            for c in bad_cols[:2]:
-                i = neq[c].idxmax()
-                print(f"      first diff {c}[{i}]: spark={a[c][i]!r} oracle={b[c][i]!r}")
+            rec["err"] = reason
+            print(f"FAIL  {name}: {reason}")
             continue
         rec["hash_match"] = True
         print(f"OK    {name}: {len(sdf)} rows match [{dt:.1f}s]")
