@@ -144,8 +144,12 @@ def main() -> None:
     # hypervisor neighbors (see BENCH.md); best-of converges on the
     # machine's capability like the scaling harness does.  EVERY raw
     # repeat timing is recorded so best-vs-spread is auditable, not just
-    # the headline.
-    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+    # the headline.  Default 6, not 3: measured repeat walls at sf0.1 keep
+    # declining past 3 (e.g. 11.7/9.8/9.2/9.0/8.8/8.2 — JVM tier-up plus
+    # hypervisor-noise sampling), so best-of-3 systematically undersamples
+    # the steady-state capability a long-running production job would see;
+    # min over N is monotone in N, so extra repeats only cost bench wall.
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "6")))
     clips = spark.read.parquet(CLIPS_CACHE)
     repeat_secs: list[float] = []
     import threading
